@@ -1,0 +1,259 @@
+"""Model / run configuration dataclasses and the EVA-CLIP config registry.
+
+Mirrors the capability surface of the reference configuration system:
+  - EVA-CLIP vision configs (reference: model/evaclip/model_configs/*.json,
+    consumed by model/evaclip/model.py:36-81 `CLIPVisionCfg` and
+    model/evaclip/factory.py:211-360 `create_model`)
+  - BERT interface config (reference: model/bert-base-uncased-crossattn/config.json)
+  - MiCo top-level model config (reference: model/mico.py:374-412, keys read
+    from `log/hps.json` `model_cfg` at inference time, inference_demo.py:17-18)
+
+All configs here are plain dataclasses — the layered JSON/CLI merge lives in
+mico_tpu/utils/config_io.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Vision encoder (EVA ViT family)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EvaVitConfig:
+    """EVA Vision Transformer hyperparameters.
+
+    Defaults follow the reference `CLIPVisionCfg` defaults
+    (model/evaclip/model.py:36-63) so registry entries only state overrides.
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    layers: int = 12
+    width: int = 768
+    head_width: int = 64
+    mlp_ratio: float = 4.0
+    embed_dim: int = 512           # CLIP projection dim (head output)
+    qkv_bias: bool = True
+    ls_init_value: Optional[float] = None   # LayerScale init (None = off)
+    drop_path_rate: float = 0.0
+    patch_dropout: float = 0.0
+    global_average_pool: bool = False       # False => final LN over tokens
+    postnorm: bool = False
+    rope: bool = False
+    pt_hw_seq_len: int = 16
+    intp_freq: bool = False
+    naiveswiglu: bool = False
+    subln: bool = False
+    ln_eps: float = 1e-6
+
+    @property
+    def num_heads(self) -> int:
+        return self.width // self.head_width
+
+    @property
+    def head_dim(self) -> int:
+        return self.head_width
+
+    @property
+    def mlp_hidden(self) -> int:
+        # Reference truncates: mlp_hidden_dim = int(dim * mlp_ratio)
+        # (model/evaclip/eva_vit_model.py:383)
+        return int(self.width * self.mlp_ratio)
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    def with_image_size(self, image_size: int) -> "EvaVitConfig":
+        return dataclasses.replace(self, image_size=image_size)
+
+
+# Registry mirroring model/evaclip/model_configs/*.json (vision towers only;
+# the CLIP text towers are deleted by MiCo after load, model/mico.py:419).
+EVA_VIT_CONFIGS = {
+    "EVA01-CLIP-B-16": EvaVitConfig(
+        patch_size=16, layers=12, width=768, head_width=64, embed_dim=512,
+        ls_init_value=0.1,
+    ),
+    "EVA01-CLIP-g-14": EvaVitConfig(
+        patch_size=14, layers=40, width=1408, head_width=88,
+        mlp_ratio=4.3637, embed_dim=1024, drop_path_rate=0.4,
+    ),
+    "EVA01-CLIP-g-14-plus": EvaVitConfig(
+        patch_size=14, layers=40, width=1408, head_width=88,
+        mlp_ratio=4.3637, embed_dim=1024,
+    ),
+    "EVA02-CLIP-B-16": EvaVitConfig(
+        patch_size=16, layers=12, width=768, head_width=64,
+        mlp_ratio=2.6667, embed_dim=512, rope=True, intp_freq=True,
+        naiveswiglu=True, subln=True,
+    ),
+    "EVA02-CLIP-L-14": EvaVitConfig(
+        patch_size=14, layers=24, width=1024, head_width=64,
+        mlp_ratio=2.6667, embed_dim=768, rope=True, intp_freq=True,
+        naiveswiglu=True, subln=True,
+    ),
+    "EVA02-CLIP-L-14-336": EvaVitConfig(
+        image_size=336, patch_size=14, layers=24, width=1024, head_width=64,
+        mlp_ratio=2.6667, embed_dim=768, rope=True, intp_freq=True,
+        naiveswiglu=True, subln=True,
+    ),
+    "EVA02-CLIP-bigE-14": EvaVitConfig(
+        patch_size=14, layers=64, width=1792, head_width=112,
+        mlp_ratio=8.571428571428571, embed_dim=1024, postnorm=True,
+    ),
+    "EVA02-CLIP-bigE-14-plus": EvaVitConfig(
+        patch_size=14, layers=64, width=1792, head_width=112,
+        mlp_ratio=8.571428571428571, embed_dim=1024, postnorm=True,
+    ),
+}
+
+# vision_encoder_type string → (EVA config name, vision_dim)
+# (reference: model/mico.py:323-352 load_clip_model)
+VISION_ENCODER_TYPES = {
+    "evaclip02_base": ("EVA02-CLIP-B-16", 768),
+    "evaclip02_base_self": ("EVA02-CLIP-B-16", 768),
+    "evaclip02_large": ("EVA02-CLIP-L-14", 1024),
+    "evaclip02_bige": ("EVA02-CLIP-bigE-14-plus", 1792),
+    "evaclip01_giant": ("EVA01-CLIP-g-14", 1408),
+}
+
+
+def eva_config_for_encoder_type(
+    vision_encoder_type: str, image_size: Optional[int] = None
+) -> EvaVitConfig:
+    name, _ = VISION_ENCODER_TYPES[vision_encoder_type]
+    cfg = EVA_VIT_CONFIGS[name]
+    if image_size is not None:
+        cfg = cfg.with_image_size(image_size)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# BERT interface branch
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    """BERT-base with cross-attention (reference:
+    model/bert-base-uncased-crossattn/config.json)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    pad_token_id: int = 0
+    add_cross_attention: bool = True
+    # Cross-attention K/V input width (vision tokens are projected to 768
+    # before entering BERT, so this equals hidden_size for MiCo).
+    encoder_width: int = 768
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+# Special token ids of the bert-base-uncased WordPiece vocab, bound as
+# bos/eos/pad/mask at runtime (reference: model/mico.py:109-113).
+BERT_CLS_ID = 101   # [CLS] -> bos
+BERT_SEP_ID = 102   # [SEP] -> eos
+BERT_PAD_ID = 0     # [PAD]
+BERT_MASK_ID = 103  # [MASK]
+
+
+# ---------------------------------------------------------------------------
+# MiCo top-level model config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MiCoConfig:
+    """Top-level omni-modal model config.
+
+    Field names intentionally match the reference `model_cfg` keys persisted
+    in `log/hps.json` (reference: data/utils/args.py:182-184, consumed by
+    inference_demo.py:17-18 and model/mico.py:376-412) so checkpoints'
+    configs load directly.
+    """
+
+    vision_encoder_type: str = "evaclip01_giant"
+    vision_resolution: int = 224
+    contra_dim: int = 512
+    frame_embedding_type: str = "adaptive"   # 'adaptive' | 'none'
+    max_vision_sample_num: int = 4
+    max_audio_sample_num: int = 4
+    max_depth_sample_num: int = 4
+    pool_video: bool = False        # 2-token/frame pooling for cross-attn input
+    beam_size: int = 3
+    itm_ratio: float = 1.0
+    max_caption_len: int = 40
+    max_omni_caption_len: int = 70
+    max_subtitle_len: int = 70
+    checkpointing: bool = False     # rematerialize encoder blocks
+    # --- TPU-native knobs (no reference equivalent) ---
+    compute_dtype: str = "bfloat16"   # activations dtype on TPU
+    param_dtype: str = "float32"
+    use_flash_attention: bool = True
+
+    @property
+    def vision_dim(self) -> int:
+        return VISION_ENCODER_TYPES[self.vision_encoder_type][1]
+
+    @property
+    def multimodal_dim(self) -> int:
+        return 768
+
+    @property
+    def audio_dim(self) -> int:
+        # Audio reuses the shared vision encoder (model/mico.py:92-96,139-143)
+        return self.vision_dim
+
+    @property
+    def depth_dim(self) -> int:
+        return self.vision_dim
+
+    @property
+    def eva_config(self) -> EvaVitConfig:
+        return eva_config_for_encoder_type(
+            self.vision_encoder_type, self.vision_resolution
+        )
+
+    @property
+    def bert_config(self) -> BertConfig:
+        return BertConfig()
+
+    def dtypes(self) -> Tuple[jnp.dtype, jnp.dtype]:
+        return (
+            jnp.dtype(self.param_dtype),
+            jnp.dtype(self.compute_dtype),
+        )
+
+
+def mico_config_from_dict(d: dict) -> MiCoConfig:
+    """Build a MiCoConfig from a (possibly larger) reference-style model_cfg
+    dict, ignoring keys we don't model."""
+    names = {f.name for f in dataclasses.fields(MiCoConfig)}
+    return MiCoConfig(**{k: v for k, v in d.items() if k in names})

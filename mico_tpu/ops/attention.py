@@ -1,0 +1,71 @@
+"""Multi-head attention entry point.
+
+Two interchangeable implementations:
+  - `xla`:   plain jnp einsum/softmax; XLA fuses well, differentiable, runs on
+             any backend. fp32 softmax/accumulation regardless of input dtype.
+  - `flash`: Pallas TPU kernel (mico_tpu/ops/flash_attention.py), online
+             softmax, O(L) memory; used on the inference hot path.
+
+Replaces the reference's xformers `memory_efficient_attention` call sites
+(model/evaclip/eva_vit_model.py:325-338) and the naive torch attention path
+(model/evaclip/eva_vit_model.py:339-361, model/bert.py:152-283).
+
+Shapes: q (B, H, Lq, D); k, v (B, H, Lk, D); additive bias broadcastable to
+(B, H, Lq, Lk) — pass (B, 1, 1, Lk) for padding masks or (B, 1, Lq, Lk) for
+3D masks, values 0 / -10000-style.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = scores * jnp.float32(scale)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(v.dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """impl: 'auto' | 'xla' | 'flash'. 'auto' picks flash on TPU."""
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "flash":
+        from mico_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, scale=scale)
+    return xla_attention(q, k, v, bias=bias, scale=scale)

@@ -1,0 +1,57 @@
+"""Elementary fused layers.
+
+XLA fuses these into surrounding matmuls on TPU; we only need to get the
+numerics right and keep reductions in fp32 for bf16 activations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — matches torch.nn.GELU and the reference's
+    hand-written gelu (model/mico.py:22-28)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float,
+) -> jnp.ndarray:
+    """LayerNorm over the last axis with fp32 statistics.
+
+    Matches torch.nn.LayerNorm (biased variance). Output is cast back to the
+    input dtype so bf16 activation flows stay bf16.
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def linear(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """x @ W (+ b). W is stored (in_features, out_features) — JAX layout;
+    the torch converter transposes. Accumulates in fp32 on the MXU; HIGHEST
+    precision keeps fp32 parity runs exact at zero cost to bf16 runs."""
+    y = jnp.dot(
+        x,
+        weight.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

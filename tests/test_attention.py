@@ -1,0 +1,62 @@
+"""Flash attention kernel (interpret mode on CPU) vs XLA reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mico_tpu.ops.attention import xla_attention
+from mico_tpu.ops.flash_attention import flash_attention
+
+
+def _mk(rng, b, h, lq, lk, d, dtype=np.float32):
+    q = rng.standard_normal((b, h, lq, d)).astype(dtype)
+    k = rng.standard_normal((b, h, lk, d)).astype(dtype)
+    v = rng.standard_normal((b, h, lk, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (2, 4, 257, 257, 88),   # EVA self-attn (non-aligned seq + head dim)
+        (2, 2, 30, 1028, 64),   # BERT cross-attn over 4x257 vision tokens
+        (1, 2, 128, 128, 128),  # aligned
+        (1, 1, 7, 5, 32),       # tiny ragged
+    ],
+)
+def test_flash_matches_xla(rng, b, h, lq, lk, d):
+    q, k, v = _mk(rng, b, h, lq, lk, d)
+    want = xla_attention(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_with_padding_mask(rng):
+    b, h, lq, lk, d = 2, 2, 16, 64, 32
+    q, k, v = _mk(rng, b, h, lq, lk, d)
+    mask = (rng.uniform(size=(b, lk)) > 0.3).astype(np.float32)
+    mask[:, :4] = 1.0
+    bias = jnp.asarray((1.0 - mask) * -10000.0)[:, None, None, :]
+    want = xla_attention(q, k, v, bias=bias)
+    got = flash_attention(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_with_3d_mask(rng):
+    # causal-style 3D mask as used by caption generation (b, Lq, Lk)
+    b, h, l, d = 2, 3, 33, 64
+    q, k, v = _mk(rng, b, h, l, l, d)
+    causal = np.tril(np.ones((l, l), np.float32))
+    bias = jnp.asarray((1.0 - causal) * -10000.0)[None, None]
+    want = xla_attention(q, k, v, bias=bias)
+    got = flash_attention(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16(rng):
+    b, h, l, d = 1, 2, 257, 88
+    q, k, v = _mk(rng, b, h, l, l, d)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    want = np.asarray(xla_attention(q, k, v), dtype=np.float32)
+    got = np.asarray(flash_attention(q, k, v, interpret=True), dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
