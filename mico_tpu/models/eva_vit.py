@@ -1,0 +1,280 @@
+"""EVA Vision Transformer, TPU-native.
+
+Functional re-design of the reference `EVAVisionTransformer`
+(model/evaclip/eva_vit_model.py:488-659) with the same numerics:
+
+  - patch embed: conv k=p=s → expressed as reshape + one MXU matmul
+  - CLS token + absolute pos embed (+ optional 2D axial RoPE, EVA02)
+  - pre/post-norm blocks, fused-qkv with q/v-only bias
+    (eva_vit_model.py:244-251,305-312), optional LayerScale (gamma_1/2),
+    MLP-GELU or SwiGLU (+ optional sub-LN), LN eps 1e-6
+  - final LN over all tokens when global_average_pool is off
+    (eva_vit_model.py:542,641), `return_all_features` token output
+
+TPU-first choices: the `depth` transformer blocks are a single `lax.scan`
+over stacked parameters (one compile, MXU-friendly, remat-able per block),
+activations run in bf16 with fp32 LayerNorm statistics and fp32 attention
+softmax, and attention uses the Pallas flash kernel.
+
+Parameter tree (all leaves jnp arrays; linears stored (in, out)):
+  patch_embed/{kernel,bias}; cls_token; pos_embed;
+  blocks/{norm1_w,...}: leading axis = depth (stacked for scan);
+  norm_w, norm_b (final LN); head/{kernel,bias} optional CLIP projection.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mico_tpu.config import EvaVitConfig
+from mico_tpu.ops.attention import multi_head_attention
+from mico_tpu.ops.layers import gelu, layer_norm, linear
+
+
+# ---------------------------------------------------------------------------
+# RoPE tables (EVA02; reference model/evaclip/rope.py:79-137)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def rope_tables(head_dim: int, pt_seq_len: int, ft_seq_len: int, theta: float = 10000.0):
+    """Axial 2D rotary tables of shape (ft_seq_len**2, head_dim)."""
+    dim = head_dim // 2  # per-axis rotary dim
+    freqs = 1.0 / (
+        theta ** (np.arange(0, dim, 2)[: dim // 2].astype(np.float64) / dim)
+    )
+    t = np.arange(ft_seq_len, dtype=np.float64) / ft_seq_len * pt_seq_len
+    fr = np.einsum("i,j->ij", t, freqs)             # (ft, dim//2)
+    fr = np.repeat(fr, 2, axis=-1)                   # (ft, dim)
+    full = np.concatenate(
+        [
+            np.broadcast_to(fr[:, None, :], (ft_seq_len, ft_seq_len, dim)),
+            np.broadcast_to(fr[None, :, :], (ft_seq_len, ft_seq_len, dim)),
+        ],
+        axis=-1,
+    ).reshape(ft_seq_len * ft_seq_len, head_dim)
+    return (
+        jnp.asarray(np.cos(full), dtype=jnp.float32),
+        jnp.asarray(np.sin(full), dtype=jnp.float32),
+    )
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (..., seq, head_dim); CLS excluded by the caller."""
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    return x * cos + _rotate_half(x) * sin
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _trunc_normal(key, shape, std=0.02):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_eva_vit(key: jax.Array, cfg: EvaVitConfig) -> dict:
+    """Random init mirroring the reference scheme: trunc_normal(0.02) linears,
+    zero biases, unit LN, and `fix_init_weight` rescale of each block's output
+    projections by sqrt(2*layer_id) (eva_vit_model.py:565-574)."""
+    w, h, d = cfg.width, cfg.mlp_hidden, cfg.layers
+    ks = iter(jax.random.split(key, 64))
+    nxt = lambda: next(ks)
+
+    def tn(shape, std=0.02):
+        return _trunc_normal(nxt(), shape, std)
+
+    rescale = jnp.sqrt(2.0 * (jnp.arange(d, dtype=jnp.float32) + 1.0))
+    rescale = rescale[:, None, None]
+
+    blocks = {
+        "norm1_w": jnp.ones((d, w)), "norm1_b": jnp.zeros((d, w)),
+        "norm2_w": jnp.ones((d, w)), "norm2_b": jnp.zeros((d, w)),
+        "qkv_w": tn((d, w, 3 * w)),
+        "q_bias": jnp.zeros((d, w)), "v_bias": jnp.zeros((d, w)),
+        "proj_w": tn((d, w, w)) / rescale,
+        "proj_b": jnp.zeros((d, w)),
+    }
+    if cfg.naiveswiglu:
+        blocks.update(
+            w1_w=tn((d, w, h)), w1_b=jnp.zeros((d, h)),
+            w2_w=tn((d, w, h)), w2_b=jnp.zeros((d, h)),
+            w3_w=tn((d, h, w)) / rescale, w3_b=jnp.zeros((d, w)),
+        )
+    else:
+        blocks.update(
+            fc1_w=tn((d, w, h)), fc1_b=jnp.zeros((d, h)),
+            fc2_w=tn((d, h, w)) / rescale, fc2_b=jnp.zeros((d, w)),
+        )
+    if cfg.subln:
+        blocks.update(
+            ffn_ln_w=jnp.ones((d, h)), ffn_ln_b=jnp.zeros((d, h)),
+            inner_attn_ln_w=jnp.ones((d, w)), inner_attn_ln_b=jnp.zeros((d, w)),
+        )
+        # subln splits qkv into separate projections with q/v bias only —
+        # we keep the fused layout; converter packs q/k/v into qkv_w.
+    if cfg.ls_init_value is not None:
+        blocks["gamma_1"] = cfg.ls_init_value * jnp.ones((d, w))
+        blocks["gamma_2"] = cfg.ls_init_value * jnp.ones((d, w))
+
+    params = {
+        "patch_embed": {
+            "kernel": tn((3 * cfg.patch_size**2, w)),
+            "bias": jnp.zeros((w,)),
+        },
+        "cls_token": tn((1, 1, w)),
+        "pos_embed": tn((1, cfg.seq_len, w)),
+        "blocks": blocks,
+        "norm_w": jnp.ones((w,)), "norm_b": jnp.zeros((w,)),
+        "head": {"kernel": tn((w, cfg.embed_dim)), "bias": jnp.zeros((cfg.embed_dim,))},
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def patch_embed(params: dict, cfg: EvaVitConfig, pixels: jnp.ndarray) -> jnp.ndarray:
+    """pixels (B, 3, H, W) → tokens (B, num_patches, width).
+
+    Equivalent to the reference Conv2d(k=p=s) patch embed
+    (eva_vit_model.py:427-448) as a single matmul: patches flattened in
+    (c, dy, dx) order to match the conv-weight layout."""
+    b = pixels.shape[0]
+    p, g = cfg.patch_size, cfg.grid_size
+    x = pixels.reshape(b, 3, g, p, g, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, g * g, 3 * p * p)
+    return linear(x, params["kernel"], params["bias"])
+
+
+def _block(
+    x: jnp.ndarray,
+    bp: dict,
+    cfg: EvaVitConfig,
+    rope_cos: Optional[jnp.ndarray],
+    rope_sin: Optional[jnp.ndarray],
+    attn_impl: str,
+) -> jnp.ndarray:
+    """One transformer block on (B, L, W). bp holds this layer's params."""
+    b, l, w = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.ln_eps
+
+    def attention(h):
+        qkv_bias = jnp.concatenate(
+            [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
+        )
+        qkv = linear(h, bp["qkv_w"], qkv_bias)                    # (B, L, 3W)
+        qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                          # (B, H, L, D)
+        if rope_cos is not None:
+            q = jnp.concatenate(
+                [q[:, :, :1], apply_rope(q[:, :, 1:], rope_cos, rope_sin)], axis=2
+            )
+            k = jnp.concatenate(
+                [k[:, :, :1], apply_rope(k[:, :, 1:], rope_cos, rope_sin)], axis=2
+            )
+        o = multi_head_attention(q, k, v, scale=hd**-0.5, impl=attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b, l, w)
+        if cfg.subln:
+            o = layer_norm(o, bp["inner_attn_ln_w"], bp["inner_attn_ln_b"], eps)
+        return linear(o, bp["proj_w"], bp["proj_b"])
+
+    def mlp(h):
+        if cfg.naiveswiglu:
+            h1 = linear(h, bp["w1_w"], bp["w1_b"])
+            h2 = linear(h, bp["w2_w"], bp["w2_b"])
+            hh = jax.nn.silu(h1) * h2
+            if cfg.subln:
+                hh = layer_norm(hh, bp["ffn_ln_w"], bp["ffn_ln_b"], eps)
+            return linear(hh, bp["w3_w"], bp["w3_b"])
+        hh = gelu(linear(h, bp["fc1_w"], bp["fc1_b"]))
+        if cfg.subln:
+            hh = layer_norm(hh, bp["ffn_ln_w"], bp["ffn_ln_b"], eps)
+        return linear(hh, bp["fc2_w"], bp["fc2_b"])
+
+    def scaled(branch, gamma_key):
+        def f(h):
+            y = branch(h)
+            if gamma_key in bp:
+                y = y * bp[gamma_key].astype(y.dtype)
+            return y
+        return f
+
+    attn_out = scaled(attention, "gamma_1")
+    mlp_out = scaled(mlp, "gamma_2")
+
+    if cfg.postnorm:
+        x = x + layer_norm(attn_out(x), bp["norm1_w"], bp["norm1_b"], eps)
+        x = x + layer_norm(mlp_out(x), bp["norm2_w"], bp["norm2_b"], eps)
+    else:
+        x = x + attn_out(layer_norm(x, bp["norm1_w"], bp["norm1_b"], eps))
+        x = x + mlp_out(layer_norm(x, bp["norm2_w"], bp["norm2_b"], eps))
+    return x
+
+
+def eva_vit_forward(
+    params: dict,
+    cfg: EvaVitConfig,
+    pixels: jnp.ndarray,
+    *,
+    return_all_features: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """pixels (B, 3, H, W) → (B, seq_len, width) if return_all_features,
+    else pooled (B, width) per reference semantics (eva_vit_model.py:611-650).
+
+    Inference path (dropout/drop-path are eval-time no-ops in the reference;
+    training-mode stochastic depth lives in the training module)."""
+    x = pixels.astype(compute_dtype)
+    x = patch_embed(params["patch_embed"], cfg, x)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (b, 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(compute_dtype)
+
+    if cfg.rope:
+        ft = cfg.grid_size
+        cos, sin = rope_tables(cfg.head_dim, cfg.pt_hw_seq_len, ft)
+    else:
+        cos, sin = None, None
+
+    def body(h, bp):
+        return _block(h, bp, cfg, cos, sin, attn_impl), None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    if not cfg.global_average_pool:
+        x = layer_norm(x, params["norm_w"], params["norm_b"], cfg.ln_eps)
+        if return_all_features:
+            return x
+        return x[:, 0]
+    # global_average_pool=True: identity norm + fc_norm(mean) pooling
+    if return_all_features:
+        return x
+    return layer_norm(
+        jnp.mean(x, axis=1), params["norm_w"], params["norm_b"], cfg.ln_eps
+    )

@@ -1,0 +1,80 @@
+"""Import the PyTorch reference implementation (read-only, /root/reference)
+for golden-parity testing. Missing optional deps are stubbed."""
+
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_stubs():
+    import torch
+
+    tv = _stub("torchvision")
+    _stub("torchvision.ops")
+    misc = _stub("torchvision.ops.misc", FrozenBatchNorm2d=torch.nn.Module)
+    tv.ops = sys.modules["torchvision.ops"]
+    sys.modules["torchvision.ops"].misc = misc
+    _stub(
+        "torchvision.transforms",
+        Normalize=object, Compose=object, InterpolationMode=object,
+        Resize=object, CenterCrop=object, ToTensor=object,
+    )
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    _stub("easydict", EasyDict=EasyDict)
+
+
+def _package_shell(name, path):
+    """Register an empty package whose submodules resolve under `path`,
+    bypassing the real package __init__ (which drags in heavy deps)."""
+    import importlib.machinery
+    import importlib.util
+
+    if name in sys.modules:
+        return
+    spec = importlib.machinery.ModuleSpec(name, None, is_package=True)
+    mod = importlib.util.module_from_spec(spec)
+    mod.__path__ = [path]
+    sys.modules[name] = mod
+
+
+def load_eva_vit_module():
+    install_stubs()
+    import importlib
+
+    _package_shell("refclip", f"{REF}/model/evaclip")
+    return importlib.import_module("refclip.eva_vit_model")
+
+
+def load_bert_module():
+    install_stubs()
+    import importlib.util
+
+    name = "ref_bert"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, f"{REF}/model/bert.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -1,0 +1,110 @@
+"""EVA ViT golden parity: our JAX implementation vs the PyTorch reference
+(model/evaclip/eva_vit_model.py) with identical random weights."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mico_tpu.config import EvaVitConfig
+from mico_tpu.convert import eva_vit_from_torch
+from mico_tpu.models.eva_vit import eva_vit_forward
+
+from reference_loader import load_eva_vit_module
+
+
+def build_reference(cfg: EvaVitConfig, rope_env: str):
+    os.environ["RoPE"] = rope_env
+    mod = load_eva_vit_module()
+    torch.manual_seed(0)
+    model = mod.EVAVisionTransformer(
+        img_size=cfg.image_size,
+        patch_size=cfg.patch_size,
+        num_classes=cfg.embed_dim,
+        use_mean_pooling=cfg.global_average_pool,
+        init_values=cfg.ls_init_value,
+        patch_dropout=0.0,
+        embed_dim=cfg.width,
+        depth=cfg.layers,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias,
+        drop_path_rate=0.0,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=cfg.ln_eps),
+        xattn=False,
+        rope=cfg.rope,
+        postnorm=cfg.postnorm,
+        pt_hw_seq_len=cfg.pt_hw_seq_len,
+        intp_freq=cfg.intp_freq,
+        naiveswiglu=cfg.naiveswiglu,
+        subln=cfg.subln,
+    )
+    model.eval()
+    # randomize weights meaningfully (default init leaves many zeros)
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+    return model
+
+
+CASES = {
+    # mini version of EVA01-CLIP-g-14 (MiCo flagship): fused qkv + q/v bias,
+    # MLP-GELU, final LN, mlp_ratio trunc
+    "eva01_mini": EvaVitConfig(
+        image_size=56, patch_size=14, layers=3, width=64, head_width=16,
+        mlp_ratio=4.3637, embed_dim=32,
+    ),
+    # EVA02 style: RoPE + SwiGLU + subln (split qkv in reference)
+    "eva02_mini": EvaVitConfig(
+        image_size=64, patch_size=16, layers=2, width=64, head_width=16,
+        mlp_ratio=2.6667, embed_dim=32, rope=True, intp_freq=True,
+        naiveswiglu=True, subln=True,
+    ),
+    # bigE style: postnorm
+    "postnorm_mini": EvaVitConfig(
+        image_size=56, patch_size=14, layers=2, width=64, head_width=16,
+        mlp_ratio=4.0, embed_dim=32, postnorm=True,
+    ),
+    # layerscale (EVA01-B)
+    "layerscale_mini": EvaVitConfig(
+        image_size=32, patch_size=16, layers=2, width=32, head_width=16,
+        mlp_ratio=4.0, embed_dim=16, ls_init_value=0.1,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_eva_vit_parity(rng, name):
+    cfg = CASES[name]
+    ref = build_reference(cfg, rope_env="1" if cfg.rope else "0")
+    x = rng.standard_normal((2, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref.forward_features(torch.from_numpy(x), return_all_features=True)
+    want = want.numpy()
+
+    params = eva_vit_from_torch(ref.state_dict(), cfg)
+    got = np.asarray(
+        eva_vit_forward(params, cfg, jnp.asarray(x), return_all_features=True)
+    )
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    cos = np.sum(got * want) / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.99999
+
+
+def test_eva_vit_pooled_output(rng):
+    cfg = CASES["eva01_mini"]
+    ref = build_reference(cfg, rope_env="0")
+    x = rng.standard_normal((1, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.forward_features(torch.from_numpy(x), return_all_features=False).numpy()
+    params = eva_vit_from_torch(ref.state_dict(), cfg)
+    got = np.asarray(
+        eva_vit_forward(params, cfg, jnp.asarray(x), return_all_features=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
