@@ -10,7 +10,10 @@ REF = "/root/reference"
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -66,8 +69,24 @@ def load_eva_vit_module():
     return importlib.import_module("refclip.eva_vit_model")
 
 
+def _patch_transformers():
+    """The reference bert.py targets transformers 4.26; newer releases moved
+    a few helpers. Re-export them where the reference expects them."""
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    for name in (
+        "apply_chunking_to_forward",
+        "find_pruneable_heads_and_indices",
+        "prune_linear_layer",
+    ):
+        if not hasattr(mu, name):
+            setattr(mu, name, getattr(pu, name))
+
+
 def load_bert_module():
     install_stubs()
+    _patch_transformers()
     import importlib.util
 
     name = "ref_bert"
