@@ -59,9 +59,10 @@ def rope_tables(head_dim: int, pt_seq_len: int, ft_seq_len: int, theta: float = 
         ],
         axis=-1,
     ).reshape(ft_seq_len * ft_seq_len, head_dim)
+    # numpy (not jnp) so the lru_cache never captures a tracer-stage constant
     return (
-        jnp.asarray(np.cos(full), dtype=jnp.float32),
-        jnp.asarray(np.sin(full), dtype=jnp.float32),
+        np.cos(full).astype(np.float32),
+        np.sin(full).astype(np.float32),
     )
 
 
@@ -71,10 +72,10 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
 
 
-def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+def apply_rope(x: jnp.ndarray, cos, sin) -> jnp.ndarray:
     """x: (..., seq, head_dim); CLS excluded by the caller."""
-    cos = cos.astype(x.dtype)
-    sin = sin.astype(x.dtype)
+    cos = jnp.asarray(cos).astype(x.dtype)
+    sin = jnp.asarray(sin).astype(x.dtype)
     return x * cos + _rotate_half(x) * sin
 
 

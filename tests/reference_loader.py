@@ -28,11 +28,36 @@ def install_stubs():
     misc = _stub("torchvision.ops.misc", FrozenBatchNorm2d=torch.nn.Module)
     tv.ops = sys.modules["torchvision.ops"]
     sys.modules["torchvision.ops"].misc = misc
-    _stub(
+
+    class _Interp:
+        BICUBIC = BILINEAR = NEAREST = None
+
+    tfm = _stub(
         "torchvision.transforms",
-        Normalize=object, Compose=object, InterpolationMode=object,
+        Normalize=object, Compose=object, InterpolationMode=_Interp,
         Resize=object, CenterCrop=object, ToTensor=object,
+        RandomResizedCrop=object, RandomHorizontalFlip=object,
     )
+    tfm.functional = _stub("torchvision.transforms.functional")
+    tv.transforms = tfm
+
+    _stub("ipdb", set_trace=lambda: None)
+
+    def _trunc_normal(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(min=a * std, max=b * std)
+        return tensor
+
+    timm = _stub("timm")
+    timm.models = _stub("timm.models")
+    timm.models.layers = _stub(
+        "timm.models.layers",
+        trunc_normal_=_trunc_normal,
+        Mlp=torch.nn.Module,
+        to_2tuple=lambda x: x if isinstance(x, tuple) else (x, x),
+        DropPath=torch.nn.Identity,
+    )
+    sys.modules["timm"].models.layers = sys.modules["timm.models.layers"]
 
     class EasyDict(dict):
         def __getattr__(self, k):
@@ -82,6 +107,19 @@ def _patch_transformers():
     ):
         if not hasattr(mu, name):
             setattr(mu, name, getattr(pu, name))
+
+
+def load_mico_module():
+    """Import the full reference MiCo (model/mico.py). Constructing a model
+    must happen with cwd=/root/reference (relative BertConfig/tokenizer
+    paths, model/mico.py:102,109)."""
+    install_stubs()
+    _patch_transformers()
+    import importlib
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    return importlib.import_module("model.mico")
 
 
 def load_bert_module():
