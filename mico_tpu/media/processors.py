@@ -1,0 +1,259 @@
+"""Modality processors: host decode → fused device preprocessing.
+
+API-parity re-designs of the reference processors:
+  - ImageProcessor  (model/imageprocessor.py:10-63)
+  - VideoProcessor  (model/videoprocessor.py:17-108)
+  - AudioProcessor  (model/audioprocessor.py:15-78)
+
+Numerics preserved: CLIP vs ImageNet mean/std selection by encoder type,
+torch-bilinear (no antialias) resize, chunk sampling (train random / eval
+middle), Kaldi fbank on 2**15-scaled 16 kHz mono with mel-axis bilinear
+resize and (x - 15.41663) / (2 * 6.55582) normalization, zero-pad + window
+slicing.
+
+TPU-first: resize+normalize and the fbank run as jitted device functions
+(one fused XLA program per input geometry); decode stays on host
+(cv2 / native libav decoder).
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mico_tpu.media.audio_io import load_waveform
+from mico_tpu.media.chunking import sample_chunk_indices
+from mico_tpu.media.image_io import load_image_chw
+from mico_tpu.media.video_io import read_frames_chw, video_num_frames
+from mico_tpu.ops.fbank import FbankConfig, kaldi_fbank
+from mico_tpu.ops.interpolate import interp_bilinear_2d, resize_bilinear_no_antialias
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _stats_for(encoder_type: str):
+    if encoder_type.startswith("clip") or encoder_type.startswith("evaclip"):
+        return CLIP_MEAN, CLIP_STD
+    return IMAGENET_MEAN, IMAGENET_STD
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "mean", "std"))
+def _resize_normalize(frames, resolution: int, mean, std):
+    """(n, 3, H, W) [0,1] → (n, 3, R, R) normalized."""
+    x = resize_bilinear_no_antialias(frames, (resolution, resolution))
+    m = jnp.asarray(mean, jnp.float32).reshape(1, 3, 1, 1)
+    s = jnp.asarray(std, jnp.float32).reshape(1, 3, 1, 1)
+    return (x - m) / s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("melbins", "resize_melbin_num", "mean", "std")
+)
+def _wave_to_fbank(wave, melbins: int, resize_melbin_num: int, mean, std):
+    """16 kHz mono wave → normalized (frames, resize_melbin_num) fbank."""
+    fb = kaldi_fbank(wave * (2.0**15), FbankConfig(num_mel_bins=melbins))
+    if melbins != resize_melbin_num:
+        fb = interp_bilinear_2d(
+            fb[None, None], (fb.shape[0], resize_melbin_num)
+        )[0, 0]
+    return (fb - mean) / (2.0 * std)
+
+
+class ImageProcessor:
+    def __init__(
+        self,
+        image_resolution: int,
+        image_encoder_type: str,
+        image_transforms: str = "none",
+        training: bool = True,
+    ):
+        if image_transforms not in ("none", "crop_flip"):
+            raise NotImplementedError(image_transforms)
+        self.resolution = image_resolution
+        self.mean, self.std = _stats_for(image_encoder_type)
+        self.transforms = image_transforms
+        self.training = training
+        self._rng = random.Random()
+
+    def transform(self, frames: np.ndarray) -> np.ndarray:
+        """(n, 3, H, W) float in [0,1] → (n, 3, R, R) normalized."""
+        r = self.resolution
+        if self.transforms == "crop_flip":
+            if self.training:
+                frames = _random_resized_crop(frames, r, self._rng)
+                if self._rng.random() < 0.5:
+                    frames = frames[..., ::-1]
+                frames = np.ascontiguousarray(frames)
+                m = np.asarray(self.mean, np.float32).reshape(1, 3, 1, 1)
+                s = np.asarray(self.std, np.float32).reshape(1, 3, 1, 1)
+                return (frames - m) / s
+            frames = _resize_short_center_crop(frames, r)
+            m = np.asarray(self.mean, np.float32).reshape(1, 3, 1, 1)
+            s = np.asarray(self.std, np.float32).reshape(1, 3, 1, 1)
+            return (frames - m) / s
+        out = _resize_normalize(
+            jnp.asarray(frames), r, self.mean, self.std
+        )
+        return np.asarray(out)
+
+    def __call__(self, image_file: str) -> Optional[np.ndarray]:
+        """→ (1, 3, R, R) or None on failure (reference contract)."""
+        try:
+            img = load_image_chw(image_file)
+        except Exception as e:  # noqa: BLE001 — reference returns None
+            print(e)
+            return None
+        return self.transform(img[None])
+
+
+class VideoProcessor:
+    def __init__(
+        self,
+        video_resolution: int,
+        video_encoder_type: str,
+        sample_num: int = 4,
+        video_transforms: str = "none",
+        data_format: str = "raw",
+        training: bool = True,
+    ):
+        self.image = ImageProcessor(
+            video_resolution, video_encoder_type, video_transforms, training
+        )
+        self.sample_num = sample_num
+        self.data_format = data_format
+        self.training = training
+        self._rng = random.Random()
+
+    def __call__(self, video_file: str) -> Optional[np.ndarray]:
+        """→ (sample_num, 3, R, R) or None."""
+        try:
+            if self.data_format == "raw":
+                n = video_num_frames(video_file)
+                idx = sample_chunk_indices(
+                    n, self.sample_num, self.training, self._rng
+                )
+                frames = read_frames_chw(video_file, idx)
+            elif self.data_format == "frame":
+                import os
+
+                names = sorted(os.listdir(video_file))
+                idx = sample_chunk_indices(
+                    len(names), self.sample_num, self.training, self._rng
+                )
+                frames = np.stack(
+                    [load_image_chw(os.path.join(video_file, names[i])) for i in idx]
+                )
+            else:
+                raise NotImplementedError(self.data_format)
+        except Exception as e:  # noqa: BLE001
+            print(e, video_file)
+            return None
+        return self.image.transform(frames)
+
+
+class AudioProcessor:
+    def __init__(
+        self,
+        melbins: int,
+        target_length: int,
+        sample_num: int,
+        frame_shift: int = 10,
+        resize_melbin_num: int = 224,
+        mean: float = 15.41663,
+        std: float = 6.55582,
+        training: bool = True,
+    ):
+        self.melbins = melbins
+        self.target_length = target_length
+        self.sample_num = sample_num
+        self.resize_melbin_num = resize_melbin_num
+        self.mean = mean
+        self.std = std
+        self.training = training
+        self._rng = random.Random()
+
+    def from_waveform(self, wave: np.ndarray) -> np.ndarray:
+        """16 kHz mono float wave → (sample_num, target_length, mel)."""
+        fb = np.asarray(
+            _wave_to_fbank(
+                jnp.asarray(wave, jnp.float32),
+                self.melbins,
+                self.resize_melbin_num,
+                self.mean,
+                self.std,
+            )
+        )
+        src = fb.shape[0]
+        t = self.target_length
+        pad_len = max(t * self.sample_num - src, t - src % t)
+        fb = np.pad(fb, ((0, pad_len), (0, 0)))
+        total = fb.shape[0] // t
+        idx = sample_chunk_indices(total, self.sample_num, self.training, self._rng)
+        return np.stack([fb[i * t : (i + 1) * t] for i in idx])
+
+    def __call__(self, wav_file: str) -> Optional[np.ndarray]:
+        import os
+
+        if not os.path.exists(wav_file):
+            print("not have audios", wav_file)
+            return np.zeros(
+                (self.sample_num, self.target_length, self.melbins), np.float32
+            )
+        try:
+            wave, _ = load_waveform(wav_file, target_sr=16000)
+            return self.from_waveform(wave)
+        except Exception as e:  # noqa: BLE001
+            print(e)
+            return None
+
+
+# ---------------------------------------------------------------------------
+# crop_flip host helpers (train-time augmentation path)
+# ---------------------------------------------------------------------------
+
+
+def _random_resized_crop(frames: np.ndarray, r: int, rng: random.Random):
+    """torchvision RandomResizedCrop(r, scale=[0.8,1.0], ratio=[1,1])."""
+    _, _, h, w = frames.shape
+    area = h * w
+    for _ in range(10):
+        target_area = area * rng.uniform(0.8, 1.0)
+        side = int(round(target_area**0.5))
+        if side <= h and side <= w:
+            i = rng.randint(0, h - side)
+            j = rng.randint(0, w - side)
+            crop = frames[:, :, i : i + side, j : j + side]
+            return np.asarray(
+                _resize_normalize.__wrapped__(
+                    jnp.asarray(crop), r, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+                )
+            )
+    side = min(h, w)
+    i, j = (h - side) // 2, (w - side) // 2
+    crop = frames[:, :, i : i + side, j : j + side]
+    return np.asarray(
+        _resize_normalize.__wrapped__(
+            jnp.asarray(crop), r, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+        )
+    )
+
+
+def _resize_short_center_crop(frames: np.ndarray, r: int):
+    """torchvision Resize(r) (short side) + CenterCrop(r)."""
+    _, _, h, w = frames.shape
+    if h <= w:
+        nh, nw = r, max(r, int(round(w * r / h)))
+    else:
+        nh, nw = max(r, int(round(h * r / w))), r
+    x = np.asarray(interp_bilinear_2d(jnp.asarray(frames), (nh, nw)))
+    top = (nh - r) // 2
+    left = (nw - r) // 2
+    return x[:, :, top : top + r, left : left + r]

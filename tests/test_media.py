@@ -1,0 +1,102 @@
+"""Media processors: decode + preprocessing parity and contracts."""
+
+import math
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from mico_tpu.media import (
+    AudioProcessor,
+    ImageProcessor,
+    VideoProcessor,
+    sample_chunk_indices,
+    split_chunks,
+)
+from mico_tpu.media.audio_io import load_waveform, load_wav_stdlib
+
+EXAMPLES = "/root/reference/example"
+
+
+def test_chunk_split_matches_reference_formula():
+    # reference split(): k,m = divmod(n, s); contiguous chunks
+    assert split_chunks(list(range(10)), 4) == [[0, 1, 2], [3, 4, 5], [6, 7], [8, 9]]
+    # padding with last element when n < sample_num
+    assert split_chunks([0, 1], 4) == [[0], [1], [1], [1]]
+    # eval picks chunk[(len+1)//2 - 1]
+    assert sample_chunk_indices(10, 4, training=False) == [1, 4, 6, 8]
+    assert sample_chunk_indices(360, 4, training=False)[0] == 44
+
+
+def test_image_processor_shapes_and_values():
+    proc = ImageProcessor(224, "evaclip01_giant", training=False)
+    out = proc(os.path.join(EXAMPLES, "test.jpeg"))
+    assert out.shape == (1, 3, 224, 224)
+    # normalized with CLIP stats: de-normalize must land in [0, 1]
+    mean = np.asarray([0.48145466, 0.4578275, 0.40821073]).reshape(1, 3, 1, 1)
+    std = np.asarray([0.26862954, 0.26130258, 0.27577711]).reshape(1, 3, 1, 1)
+    img = out * std + mean
+    assert img.min() > -1e-3 and img.max() < 1 + 1e-3
+
+
+def test_video_processor_eval_deterministic():
+    proc = VideoProcessor(
+        224, "evaclip01_giant", sample_num=4, data_format="raw", training=False
+    )
+    out1 = proc(os.path.join(EXAMPLES, "test.mp4"))
+    out2 = proc(os.path.join(EXAMPLES, "test.mp4"))
+    assert out1.shape == (4, 3, 224, 224)
+    np.testing.assert_array_equal(out1, out2)
+
+
+def _write_wav(path, wave, sr):
+    with wave_mod.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes((wave * 32767).astype(np.int16).tobytes())
+
+
+def test_native_audio_decoder_matches_stdlib(tmp_path):
+    t = np.arange(16000) / 16000
+    sig = (0.5 * np.sin(2 * math.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    _write_wav(p, sig, 16000)
+    ours, src_sr = load_waveform(p, target_sr=16000)
+    ref, sr = load_wav_stdlib(p)
+    assert src_sr == sr == 16000
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_native_audio_decoder_resamples(tmp_path):
+    t = np.arange(8000) / 8000
+    sig = (0.5 * np.sin(2 * math.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "t8k.wav")
+    _write_wav(p, sig, 8000)
+    out, src_sr = load_waveform(p, target_sr=16000)
+    assert src_sr == 8000
+    assert abs(out.shape[0] - 16000) < 64
+    # 440 Hz tone survives resampling: dominant FFT bin ≈ 440
+    spec = np.abs(np.fft.rfft(out[:16000]))
+    assert abs(np.argmax(spec) - 440) <= 1
+
+
+def test_audio_processor_on_flac():
+    proc = AudioProcessor(
+        melbins=224, target_length=224, sample_num=4, training=False
+    )
+    out = proc(os.path.join(EXAMPLES, "test.flac"))
+    assert out.shape == (4, 224, 224)
+    assert np.isfinite(out).all()
+    # deterministic at eval
+    out2 = proc(os.path.join(EXAMPLES, "test.flac"))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_audio_processor_missing_file_returns_zeros():
+    proc = AudioProcessor(melbins=64, target_length=128, sample_num=2)
+    out = proc("/nonexistent/a.wav")
+    assert out.shape == (2, 128, 64)
+    assert (out == 0).all()
