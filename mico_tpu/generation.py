@@ -1,0 +1,204 @@
+"""Fixed-shape caption generation for the BERT interface branch.
+
+The reference generates with HF `generate` plus a custom trick
+(model/bert.py:1110-1143): each step appends a [MASK] dummy token, grows a 3D
+attention mask whose new row copies the previous row and attends itself, and
+reads the logits at the [MASK] slot to pick the next real token.
+
+Key observation for the TPU re-design: that grown mask IS a causal mask —
+row i attends exactly to positions 0..i. Under a causal mask, rows ≤ t are
+unaffected by anything written at positions > t, so we can run the whole
+decode over one fixed-length token buffer with one static lower-triangular
+mask, writing token t at buffer slot t+1 and reading logits at the [MASK]
+slot — no per-step shape growth, fully jit/scan compatible.
+
+Implements greedy, top-k sampling (the VAST captioner mode,
+data/model/vast.py:521-537) and beam search with HF's length penalty
+(score = logp_sum / len**penalty; demo uses penalty 0.6,
+inference_demo.py:164-171).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mico_tpu.config import (
+    BERT_CLS_ID,
+    BERT_MASK_ID,
+    BERT_PAD_ID,
+    BERT_SEP_ID,
+    BertConfig,
+)
+from mico_tpu.models.bert import (
+    bert_embeddings,
+    bert_encoder,
+    extended_attention_mask,
+    mlm_logits,
+)
+
+NEG_INF = -1.0e7
+
+
+def _decode_logits(
+    params: dict,
+    cfg: BertConfig,
+    tokens: jnp.ndarray,          # (B, L) with [MASK] at slot t+1
+    slot: jnp.ndarray,            # scalar: position of the [MASK]
+    cond: jnp.ndarray,            # (B, Lk, H)
+    cond_bias: Optional[jnp.ndarray],
+    compute_dtype,
+) -> jnp.ndarray:
+    """One decoder forward; returns fp32 logits (B, V) at `slot`."""
+    b, l = tokens.shape
+    causal = jnp.tril(jnp.ones((1, l, l), jnp.float32))
+    self_bias = extended_attention_mask(causal)
+    hidden = bert_embeddings(
+        params["embeddings"], cfg, tokens, compute_dtype=compute_dtype
+    )
+    seq = bert_encoder(
+        params, cfg, hidden, self_bias, cond, cond_bias, attn_impl="auto"
+    )
+    row = jax.lax.dynamic_slice_in_dim(seq, slot, 1, axis=1)  # (B, 1, H)
+    return mlm_logits(params, cfg, row)[:, 0].astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "mode", "num_beams", "top_k",
+        "length_penalty", "compute_dtype",
+    ),
+)
+def generate(
+    params: dict,
+    cfg: BertConfig,
+    condition_feat: jnp.ndarray,
+    *,
+    max_new_tokens: int = 40,
+    mode: str = "beam",            # 'greedy' | 'sample' | 'beam'
+    num_beams: int = 3,
+    top_k: int = 10,
+    length_penalty: float = 0.6,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """→ (B, max_new_tokens + 1) token ids starting with [CLS]; generated
+    tokens padded with [PAD] after [SEP]."""
+    if mode == "beam":
+        return _beam_generate(
+            params, cfg, condition_feat, max_new_tokens, num_beams,
+            length_penalty, compute_dtype,
+        )
+    return _sequential_generate(
+        params, cfg, condition_feat, max_new_tokens, mode, top_k, rng,
+        compute_dtype,
+    )
+
+
+def _sequential_generate(
+    params, cfg, cond, max_new, mode, top_k, rng, compute_dtype
+):
+    b = cond.shape[0]
+    l = max_new + 2                    # [CLS] + max_new + final [MASK] slot
+    tokens0 = jnp.full((b, l), BERT_PAD_ID, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(BERT_CLS_ID)
+    finished0 = jnp.zeros((b,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, t):
+        tokens, finished, key = carry
+        probe = tokens.at[:, t + 1].set(BERT_MASK_ID)
+        logits = _decode_logits(
+            params, cfg, probe, t + 1, cond, None, compute_dtype
+        )
+        if mode == "greedy":
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            vals, idx = jax.lax.top_k(logits, top_k)
+            choice = jax.random.categorical(sub, vals)
+            nxt = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+            nxt = nxt.astype(jnp.int32)
+        nxt = jnp.where(finished, BERT_PAD_ID, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        finished = finished | (nxt == BERT_SEP_ID)
+        return (tokens, finished, key), None
+
+    (tokens, _, _), _ = jax.lax.scan(
+        step, (tokens0, finished0, rng), jnp.arange(max_new)
+    )
+    return tokens[:, : max_new + 1]
+
+
+def _beam_generate(params, cfg, cond, max_new, k, length_penalty, compute_dtype):
+    b = cond.shape[0]
+    l = max_new + 2
+    v = cfg.vocab_size
+
+    tokens0 = jnp.full((b, k, l), BERT_PAD_ID, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(BERT_CLS_ID)
+    live_scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    fin_tokens0 = tokens0
+    fin_scores0 = jnp.full((b, k), NEG_INF)
+
+    cond_rep = jnp.repeat(cond, k, axis=0)            # (b*k, Lk, H)
+
+    def step(carry, t):
+        tokens, live_scores, fin_tokens, fin_scores = carry
+        probe = tokens.at[:, :, t + 1].set(BERT_MASK_ID).reshape(b * k, l)
+        logits = _decode_logits(
+            params, cfg, probe, t + 1, cond_rep, None, compute_dtype
+        ).reshape(b, k, v)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        cand = live_scores[:, :, None] + logp          # (b, k, V)
+
+        # top 2k candidates over beams×vocab — guarantees k non-EOS survivors
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)
+        beam_idx = top_idx // v                        # (b, 2k)
+        tok_idx = (top_idx % v).astype(jnp.int32)
+        is_eos = tok_idx == BERT_SEP_ID
+
+        gathered = jnp.take_along_axis(
+            tokens, beam_idx[:, :, None], axis=1
+        )                                              # (b, 2k, L)
+        new_tokens = gathered.at[:, :, t + 1].set(tok_idx)
+
+        # finalize EOS candidates: sequence length so far = t+1 ([CLS]+t)
+        pen = jnp.power(jnp.float32(t + 1), length_penalty)
+        eos_scores = jnp.where(is_eos, top_scores / pen, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, gathered], axis=1)
+        fin_scores, fin_keep = jax.lax.top_k(all_fin_scores, k)
+        fin_tokens = jnp.take_along_axis(
+            all_fin_tokens, fin_keep[:, :, None], axis=1
+        )
+
+        # live beams: best k non-EOS continuations
+        live_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        live_scores, live_keep = jax.lax.top_k(live_cand_scores, k)
+        tokens = jnp.take_along_axis(
+            new_tokens, live_keep[:, :, None], axis=1
+        )
+        return (tokens, live_scores, fin_tokens, fin_scores), None
+
+    (tokens, live_scores, fin_tokens, fin_scores), _ = jax.lax.scan(
+        step,
+        (tokens0, live_scores0, fin_tokens0, fin_scores0),
+        jnp.arange(max_new),
+    )
+
+    # close out still-live beams at full length (HF finalize)
+    pen = jnp.power(jnp.float32(max_new + 1), length_penalty)
+    final_live = live_scores / pen
+    all_scores = jnp.concatenate([fin_scores, final_live], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    out = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+    return out[:, : max_new + 1]
