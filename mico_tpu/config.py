@@ -217,13 +217,20 @@ class MiCoConfig:
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
     param_dtype: str = "float32"
     use_flash_attention: bool = True
+    # test/dryrun hooks: override tower architectures with small ones
+    eva_override: Optional[EvaVitConfig] = None
+    bert_override: Optional[BertConfig] = None
 
     @property
     def vision_dim(self) -> int:
+        if self.eva_override is not None:
+            return self.eva_override.width
         return VISION_ENCODER_TYPES[self.vision_encoder_type][1]
 
     @property
     def multimodal_dim(self) -> int:
+        if self.bert_override is not None:
+            return self.bert_override.hidden_size
         return 768
 
     @property
@@ -237,12 +244,16 @@ class MiCoConfig:
 
     @property
     def eva_config(self) -> EvaVitConfig:
+        if self.eva_override is not None:
+            return self.eva_override
         return eva_config_for_encoder_type(
             self.vision_encoder_type, self.vision_resolution
         )
 
     @property
     def bert_config(self) -> BertConfig:
+        if self.bert_override is not None:
+            return self.bert_override
         return BertConfig()
 
     def dtypes(self) -> Tuple[jnp.dtype, jnp.dtype]:

@@ -1,0 +1,353 @@
+"""Training objectives: the VAST task engine, TPU-native.
+
+Re-design of data/model/vast.py:317-650 as pure functions over (params, cfg,
+batch) designed to run inside one pjit-ed train step over a `data` mesh axis:
+
+  - ITC (forward_ret, vast.py:394-417): cross-device feature all-gather,
+    similarity / temperature, per-shard diagonal targets, label smoothing
+    0.1, symmetric CE.
+  - ITM (vast.py:419-457): hard-negative sampling from the softmaxed
+    similarity (diagonal zeroed), 3×bs batch [pos | cond-neg | text-neg]
+    through BERT cross-attn, 2-way CE on CLS. itm_ratio weighting.
+  - CAP (vast.py:485-512): 60% token masking, causal-triangular 3D mask,
+    MLM loss through cross-attention.
+  - QA  (vast.py:557-611): question prefix bidirectional / answer causal
+    "part-causal" mask, 99% answer masking.
+
+Condition features (`condition_feats_{v,a,s,va,vs,vas}`) and pooled
+contrastive features (`feat_*`) follow vast.py:81-314 `batch_get`, including
+the fused-modality concat heads.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mico_tpu.config import MiCoConfig
+from mico_tpu.models import bert as bert_mod
+from mico_tpu.models import mico as mico_mod
+from mico_tpu.parallel.collectives import (
+    all_gather_concat,
+    all_gather_no_grad,
+    data_axis_index,
+)
+from mico_tpu.train.masker import mask_tokens
+
+
+def _normalize(x):
+    return x / jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (batch_get equivalent)
+# ---------------------------------------------------------------------------
+
+
+def compute_features(
+    params: dict,
+    cfg: MiCoConfig,
+    batch: Dict[str, jnp.ndarray],
+    modalities: str,
+) -> Dict[str, jnp.ndarray]:
+    """Compute encoder outputs, pooled contra features, and condition feats
+    for the given fused-modality string ('v', 'a', 'va', 'vs', 'vas', ...).
+
+    batch keys (all device arrays):
+      vision_pixels (b,n,3,h,w), audio_spectrograms (b,n,T,M),
+      caption_ids/caption_mask (b,L), subtitle_ids/subtitle_mask (b,L)
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    pooled = {}
+
+    if "v" in modalities:
+        vis = mico_mod.forward_vision_encoder(params, cfg, batch["vision_pixels"])
+        pooled["v"] = mico_mod.pool_frames_for_contra(vis)
+        out["condition_feats_v"] = mico_mod.get_multimodal_forward_input_vision(
+            params, cfg, vis
+        )
+    if "a" in modalities:
+        aud = mico_mod.forward_audio_encoder(
+            params, cfg, batch["audio_spectrograms"]
+        )
+        pooled["a"] = mico_mod.pool_frames_for_contra(aud)
+        out["condition_feats_a"] = mico_mod.get_multimodal_forward_input_audio(
+            params, cfg, aud
+        )
+    if "s" in modalities:
+        sub = mico_mod.forward_multimodal_encoder(
+            params, cfg, batch["subtitle_ids"], batch["subtitle_mask"]
+        ).sequence_output
+        pooled["s"] = mico_mod.pool_text_for_contra(sub)
+        out["condition_feats_s"] = mico_mod.get_multimodal_forward_input_subtitle(
+            params, cfg, sub
+        )
+
+    # fused condition feats: token-wise concat (vast.py:102-119)
+    if f"condition_feats_{modalities}" not in out:
+        parts = [out[f"condition_feats_{m}"] for m in modalities]
+        out[f"condition_feats_{modalities}"] = jnp.concatenate(parts, axis=1)
+
+    # pooled contra feature through the matching head (vast.py:122-279)
+    if len(modalities) == 1:
+        feat = mico_mod.contra_head(
+            params[f"contra_head_{modalities}"], pooled[modalities]
+        )
+    else:
+        cat = jnp.concatenate([pooled[m] for m in modalities], axis=-1)
+        feat = mico_mod.contra_head(params[f"contra_head_{modalities}"], cat)
+    out[f"feat_{modalities}"] = _normalize(feat)
+    return out
+
+
+def compute_text_feature(params, cfg, batch):
+    seq = mico_mod.forward_multimodal_encoder(
+        params, cfg, batch["caption_ids"], batch["caption_mask"]
+    ).sequence_output
+    feat = mico_mod.contra_head(
+        params["contra_head_t"], mico_mod.pool_text_for_contra(seq)
+    )
+    return _normalize(feat)
+
+
+# ---------------------------------------------------------------------------
+# ITC
+# ---------------------------------------------------------------------------
+
+
+def _smoothed_ce(logits, targets, smoothing=0.1):
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    one_hot = jax.nn.one_hot(targets, n)
+    soft = one_hot * (1 - smoothing) + smoothing / n
+    return -jnp.mean(jnp.sum(soft * logp, axis=-1))
+
+
+def itc_loss(
+    feat_cond: jnp.ndarray,
+    feat_t: jnp.ndarray,
+    temp: jnp.ndarray,
+    axis_name: Optional[str],
+    label_smoothing: float = 0.1,
+):
+    """Symmetric InfoNCE with cross-device gathered negatives
+    (vast.py:394-417). Returns (loss, sim_t2cond, sim_cond2t) — the sims are
+    reused by ITM hard-negative mining."""
+    feat_t_all = all_gather_no_grad(feat_t, axis_name)
+    feat_cond_all = all_gather_no_grad(feat_cond, axis_name)
+    sim_cond2t = (feat_cond @ feat_t_all.T) / temp
+    sim_t2cond = (feat_t @ feat_cond_all.T) / temp
+    bs = feat_t.shape[0]
+    rank = data_axis_index(axis_name)
+    targets = rank * bs + jnp.arange(bs)
+    loss = 0.5 * (
+        _smoothed_ce(sim_cond2t, targets, label_smoothing)
+        + _smoothed_ce(sim_t2cond, targets, label_smoothing)
+    )
+    return loss, sim_t2cond, sim_cond2t
+
+
+# ---------------------------------------------------------------------------
+# ITM
+# ---------------------------------------------------------------------------
+
+
+def itm_loss(
+    rng: jax.Array,
+    params: dict,
+    cfg: MiCoConfig,
+    condition_feats: jnp.ndarray,     # (b, Lc, H)
+    input_ids: jnp.ndarray,           # (b, L)
+    attention_mask: jnp.ndarray,
+    sim_t2cond: jnp.ndarray,          # (b, world*b)
+    sim_cond2t: jnp.ndarray,
+    axis_name: Optional[str],
+):
+    """Hard-negative ITM (vast.py:419-457)."""
+    bs = input_ids.shape[0]
+    rank = data_axis_index(axis_name)
+
+    cond_all = all_gather_concat(condition_feats, axis_name)
+    ids_all = all_gather_no_grad(input_ids, axis_name)
+    mask_all = all_gather_no_grad(attention_mask, axis_name)
+
+    def neg_weights(sim):
+        w = jax.nn.softmax(sim.astype(jnp.float32), axis=1) + 1e-4
+        cols = jnp.arange(sim.shape[1])[None, :]
+        diag = cols == (rank * bs + jnp.arange(bs)[:, None])
+        return jnp.where(diag, 0.0, w)
+
+    k1, k2 = jax.random.split(rng)
+    neg_cond_idx = jax.random.categorical(
+        k1, jnp.log(neg_weights(sim_t2cond)), axis=1
+    )
+    neg_text_idx = jax.random.categorical(
+        k2, jnp.log(neg_weights(sim_cond2t)), axis=1
+    )
+
+    cond_neg = jnp.take(cond_all, neg_cond_idx, axis=0)
+    ids_neg = jnp.take(ids_all, neg_text_idx, axis=0)
+    mask_neg = jnp.take(mask_all, neg_text_idx, axis=0)
+
+    ids_3 = jnp.concatenate([input_ids, input_ids, ids_neg], axis=0)
+    mask_3 = jnp.concatenate([attention_mask, attention_mask, mask_neg], axis=0)
+    cond_3 = jnp.concatenate([condition_feats, cond_neg, condition_feats], axis=0)
+
+    seq = mico_mod.forward_multimodal_encoder(
+        params, cfg, ids_3, mask_3, cond_3
+    ).sequence_output
+    logits = mico_mod.itm_head(params, seq[:, 0])
+    labels = jnp.concatenate(
+        [jnp.ones((bs,), jnp.int32), jnp.zeros((2 * bs,), jnp.int32)]
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# Captioning / QA masks
+# ---------------------------------------------------------------------------
+
+
+def causal_3d_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """(b, L) pad mask → (b, L, L) causal mask (vast.py:491-494)."""
+    l = attention_mask.shape[1]
+    m = jnp.broadcast_to(
+        attention_mask[:, None, :], (attention_mask.shape[0], l, l)
+    )
+    return jnp.tril(m)
+
+
+def part_causal_3d_mask(
+    question_mask: jnp.ndarray, answer_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Question prefix bidirectional, answer causal, question rows blind to
+    answers (vast.py:591-596)."""
+    b = question_mask.shape[0]
+    ql = question_mask.shape[1]
+    full = jnp.concatenate([question_mask, answer_mask], axis=1)
+    l = full.shape[1]
+    m = jnp.broadcast_to(full[:, None, :], (b, l, l)).astype(jnp.int32)
+    tril = jnp.tril(jnp.ones((l, l), jnp.int32))
+    ans = jnp.ones((l, l), jnp.int32)
+    ans = ans.at[ql:, ql:].set(tril[ql:, ql:])   # answer block causal
+    ans = ans.at[:ql, ql:].set(0)                # questions can't see answers
+    return m * ans[None]
+
+
+def caption_loss(
+    rng: jax.Array,
+    params: dict,
+    cfg: MiCoConfig,
+    condition_feats: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    mask_prob: float = 0.6,
+):
+    masked_ids, labels = mask_tokens(rng, input_ids, mask_prob)
+    mask3d = causal_3d_mask(attention_mask)
+    out = mico_mod.forward_multimodal_encoder(
+        params, cfg, masked_ids, mask3d, condition_feats, labels=labels
+    )
+    return out.loss
+
+
+def qa_loss(
+    rng: jax.Array,
+    params: dict,
+    cfg: MiCoConfig,
+    condition_feats: jnp.ndarray,
+    question_ids: jnp.ndarray,
+    question_mask: jnp.ndarray,
+    answer_ids: jnp.ndarray,
+    answer_mask: jnp.ndarray,
+    mask_prob: float = 0.99,
+):
+    masked_ans, ans_labels = mask_tokens(rng, answer_ids, mask_prob)
+    ids = jnp.concatenate([question_ids, masked_ans], axis=1)
+    labels = jnp.concatenate(
+        [jnp.full_like(question_ids, -100), ans_labels], axis=1
+    )
+    mask3d = part_causal_3d_mask(question_mask, answer_mask)
+    out = mico_mod.forward_multimodal_encoder(
+        params, cfg, ids, mask3d, condition_feats, labels=labels
+    )
+    return out.loss
+
+
+# ---------------------------------------------------------------------------
+# Task dispatch (VAST.forward equivalent)
+# ---------------------------------------------------------------------------
+
+
+def task_losses(
+    rng: jax.Array,
+    params: dict,
+    cfg: MiCoConfig,
+    batch: Dict[str, jnp.ndarray],
+    task: str,
+    axis_name: Optional[str] = None,
+) -> Dict[str, jnp.ndarray]:
+    """task: reference grammar, e.g. 'ret%tva' / 'cap%tv%tva' / 'qa%tva'
+    (vast.py:317-371). Returns the loss dict."""
+    losses: Dict[str, jnp.ndarray] = {}
+    for sub in task.split("_"):
+        parts = sub.split("%")
+        kind, groups = parts[0], parts[1:]
+        feats = {}
+        for g in groups:
+            mods = g[1:]  # strip leading 't'
+            feats.update(compute_features(params, cfg, batch, mods))
+
+        if kind == "ret":
+            feat_t = compute_text_feature(params, cfg, batch)
+            itc, itm = [], []
+            for g in groups:
+                mods = g[1:]
+                rng, k = jax.random.split(rng)
+                li, s_t2c, s_c2t = itc_loss(
+                    feats[f"feat_{mods}"], feat_t, params["contra_temp"],
+                    axis_name,
+                )
+                itc.append(li)
+                itm.append(
+                    cfg.itm_ratio
+                    * itm_loss(
+                        k, params, cfg, feats[f"condition_feats_{mods}"],
+                        batch["caption_ids"], batch["caption_mask"],
+                        s_t2c, s_c2t, axis_name,
+                    )
+                )
+            losses["loss_itc"] = sum(itc) / len(itc)
+            losses["loss_itm"] = sum(itm) / len(itm)
+        elif kind == "cap":
+            caps = []
+            for g in groups:
+                mods = g[1:]
+                rng, k = jax.random.split(rng)
+                caps.append(
+                    caption_loss(
+                        k, params, cfg, feats[f"condition_feats_{mods}"],
+                        batch["caption_ids"], batch["caption_mask"],
+                    )
+                )
+            losses["loss_cap"] = sum(caps) / len(caps)
+        elif kind == "qa":
+            qas = []
+            for g in groups:
+                mods = g[1:]
+                rng, k = jax.random.split(rng)
+                qas.append(
+                    qa_loss(
+                        k, params, cfg, feats[f"condition_feats_{mods}"],
+                        batch["question_ids"], batch["question_mask"],
+                        batch["answer_ids"], batch["answer_mask"],
+                    )
+                )
+            losses["loss_qa"] = sum(qas) / len(qas)
+        else:
+            raise ValueError(f"unknown task {kind}")
+    return losses

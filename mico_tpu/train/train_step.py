@@ -1,0 +1,88 @@
+"""The pjit training step.
+
+TPU-native redesign of the reference train loop body
+(data/utils/pipeline.py:17-143): one jit-compiled program computes the task
+losses on the GLOBAL batch, takes grads, clips, and applies the
+param-group/schedule-aware optimizer. Parallelism is declarative:
+
+  - the batch is sharded over the `data` mesh axis (DDP equivalent;
+    gradient all-reduce is whatever GSPMD inserts for the sharded-batch →
+    replicated-params contraction — the reference's hand-rolled NCCL
+    all-reduce, data/utils/pipeline.py:92-99, disappears)
+  - params may additionally be sharded over the `model` axis with the
+    Megatron-style specs in mico_tpu/parallel/partition.py (beyond-reference
+    TP headroom)
+  - losses written globally (global sim matrix = concat-all-gather'd
+    features of the reference, vast.py:394-422) so GSPMD chooses the
+    collectives; no rank-aware code inside the step.
+
+bf16 forward/backward with fp32 params and optimizer state; no loss scaler
+needed (the reference's fp16 GradScaler, pipeline.py:30-47, is obsolete on
+TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from mico_tpu.config import MiCoConfig
+from mico_tpu.parallel.partition import mico_param_specs
+from mico_tpu.train.objectives import task_losses
+
+
+def make_train_step(
+    cfg: MiCoConfig,
+    optimizer: optax.GradientTransformation,
+    task: str,
+    donate: bool = True,
+):
+    """Returns step(params, opt_state, batch, rng) → (params, opt_state,
+    loss_dict). jit-compiled; shard inputs before calling (see
+    `shard_train_state`)."""
+
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            losses = task_losses(rng, p, cfg, batch, task, axis_name=None)
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses = dict(losses, loss_total=total)
+        return params, opt_state, losses
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def shard_train_state(
+    mesh: Mesh,
+    params,
+    opt_state,
+    model_axis: Optional[str] = "model",
+):
+    """Place params/opt_state on the mesh per the partition rules."""
+    specs = mico_param_specs(params, model_axis)
+    to_named = lambda spec: NamedSharding(mesh, spec)
+    params = jax.device_put(params, jax.tree.map(to_named, specs))
+
+    def opt_spec(leaf):
+        # adam moments mirror the param tree shape-wise; match by shape
+        return NamedSharding(mesh, P())
+
+    opt_state = jax.device_put(opt_state, jax.tree.map(opt_spec, opt_state))
+    return params, opt_state
+
+
+def shard_batch(mesh: Mesh, batch: Dict, data_axis: str = "data") -> Dict:
+    sh = NamedSharding(mesh, P(data_axis))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

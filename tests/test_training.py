@@ -1,0 +1,136 @@
+"""Training objectives, optimizer grouping, and the pjit train step
+(incl. 8-virtual-device data-parallel equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mico_tpu.config import BertConfig, EvaVitConfig, MiCoConfig
+from mico_tpu.models.mico import init_mico
+from mico_tpu.parallel.mesh import create_mesh
+from mico_tpu.train.masker import mask_tokens
+from mico_tpu.train.objectives import task_losses
+from mico_tpu.train.optim import OptimConfig, build_optimizer, param_group_labels
+from mico_tpu.train.train_step import make_train_step, shard_batch
+
+TINY_EVA = EvaVitConfig(
+    image_size=28, patch_size=14, layers=2, width=32, head_width=16,
+    mlp_ratio=4.0, embed_dim=16,
+)
+TINY_BERT = BertConfig(
+    vocab_size=30522, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=64, max_position_embeddings=64,
+    encoder_width=32,
+)
+CFG = MiCoConfig(
+    eva_override=TINY_EVA, bert_override=TINY_BERT, contra_dim=16,
+    max_vision_sample_num=2, max_audio_sample_num=2, max_depth_sample_num=2,
+    compute_dtype="float32", use_flash_attention=False, itm_ratio=0.1,
+)
+
+
+def make_batch(rng, b):
+    return {
+        "vision_pixels": jnp.asarray(
+            rng.standard_normal((b, 2, 3, 28, 28)), jnp.float32
+        ),
+        "audio_spectrograms": jnp.asarray(
+            rng.standard_normal((b, 2, 28, 28)), jnp.float32
+        ),
+        "caption_ids": jnp.asarray(
+            rng.integers(200, 20000, (b, 12)), jnp.int32
+        ).at[:, 0].set(101),
+        "caption_mask": jnp.ones((b, 12), jnp.int32),
+        "subtitle_ids": jnp.asarray(
+            rng.integers(200, 20000, (b, 8)), jnp.int32
+        ),
+        "subtitle_mask": jnp.ones((b, 8), jnp.int32),
+        "question_ids": jnp.asarray(
+            rng.integers(200, 20000, (b, 10)), jnp.int32
+        ),
+        "question_mask": jnp.ones((b, 10), jnp.int32),
+        "answer_ids": jnp.asarray(
+            rng.integers(200, 20000, (b, 6)), jnp.int32
+        ),
+        "answer_mask": jnp.ones((b, 6), jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_mico(jax.random.PRNGKey(0), CFG)
+
+
+def test_masker_contract(rng):
+    toks = jnp.asarray(rng.integers(200, 20000, (4, 16)), jnp.int32)
+    toks = toks.at[:, 0].set(101).at[:, -3:].set(0)
+    out, labels = mask_tokens(jax.random.PRNGKey(1), toks, 0.6)
+    # position 0 and pads never masked
+    assert (labels[:, 0] == -100).all()
+    assert (labels[:, -3:] == -100).all()
+    # every row has at least one label
+    assert ((labels != -100).sum(axis=1) > 0).all()
+    # labels hold original ids where masked
+    m = labels != -100
+    np.testing.assert_array_equal(np.asarray(labels)[np.asarray(m)],
+                                  np.asarray(toks)[np.asarray(m)])
+
+
+@pytest.mark.parametrize("task", ["ret%tva", "cap%tv%ta", "qa%tv", "ret%tvas_cap%tva"])
+def test_task_losses_finite(rng, params, task):
+    batch = make_batch(rng, 4)
+    losses = task_losses(
+        jax.random.PRNGKey(0), params, CFG, batch, task, axis_name=None
+    )
+    assert losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_param_group_labels(params):
+    labels = param_group_labels(params, new_params_name=("contra_head",))
+    assert labels["vision_encoder"]["blocks"]["qkv_w"] == "vision"
+    assert labels["vision_encoder"]["blocks"]["norm1_w"] == "vision_nd"
+    assert labels["bert"]["layers"]["q_w"] == "basic"
+    assert labels["bert"]["layers"]["q_b"] == "basic_nd"
+    assert labels["contra_head_v"]["kernel"] == "new"
+
+
+def test_train_step_descends(rng, params):
+    oc = OptimConfig(
+        learning_rate=1e-3, clip_lr=1e-3, num_train_steps=100,
+        warmup_ratio=0.01,
+    )
+    opt = build_optimizer(params, oc)
+    opt_state = opt.init(params)
+    step = make_train_step(CFG, opt, "cap%tv", donate=False)
+    batch = make_batch(rng, 8)
+    p = params
+    vals = []
+    for i in range(10):
+        p, opt_state, losses = step(p, opt_state, batch, jax.random.PRNGKey(2))
+        vals.append(float(losses["loss_total"]))
+    # fixed batch + fixed masking rng: the MLM loss must descend steadily
+    assert vals[-1] < vals[0] - 0.3, vals
+
+
+def test_data_parallel_equivalence(rng, params):
+    """Same global batch, 1 device vs 8-device data-parallel mesh."""
+    batch = make_batch(rng, 8)
+    losses_1 = task_losses(
+        jax.random.PRNGKey(3), params, CFG, batch, "ret%tva", axis_name=None
+    )
+
+    mesh = create_mesh(data=8, model=1)
+    sharded = shard_batch(mesh, batch)
+    f = jax.jit(
+        lambda p, b: task_losses(
+            jax.random.PRNGKey(3), p, CFG, b, "ret%tva", axis_name=None
+        )
+    )
+    losses_8 = f(params, sharded)
+    for k in losses_1:
+        np.testing.assert_allclose(
+            float(losses_1[k]), float(losses_8[k]), rtol=2e-4, atol=2e-4
+        )
