@@ -16,9 +16,15 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# The Mosaic compile helper needs these when the metadata server is absent
+# (single-chip tunneled sessions).
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
 
 A100_BASELINE_SAMPLES_PER_S = 42.8
 

@@ -1,0 +1,164 @@
+"""Checkpoint save / resume.
+
+Mirrors the reference contract (data/utils/save.py:9-41,
+data/utils/build_model.py:65-124, inference_demo.py:14-116):
+  - `ckpt/model_step_{N}` (+ `optimizer_step_{N}`) under the output dir,
+    previous checkpoint removed unless remove_before_ckpt=False
+  - `best_{metric}` snapshots
+  - resume picks the max-step model/optimizer pair
+  - `load_from_pretrained_dir` reads `log/hps.json` and the latest
+    checkpoint, accepting BOTH the released PyTorch `.pt` state_dicts
+    (converted through mico_tpu.convert with legacy-key surgery and
+    embedding resizes) and this framework's native `.npz` pytrees.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mico_tpu.config import MiCoConfig, mico_config_from_dict
+from mico_tpu.utils.config_io import AttrDict, load_hps
+from mico_tpu.utils.logger import LOGGER
+
+SEP = "/"
+
+
+def flatten_pytree(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_pytree(v, f"{prefix}{k}{SEP}"))
+    else:
+        out[prefix.rstrip(SEP)] = np.asarray(tree)
+    return out
+
+
+def unflatten_pytree(flat: Dict[str, np.ndarray]):
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split(SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_pytree_npz(path: str, tree) -> None:
+    np.savez(path, **flatten_pytree(jax.device_get(tree)))
+
+
+def load_pytree_npz(path: str):
+    with np.load(path) as z:
+        return unflatten_pytree({k: z[k] for k in z.files})
+
+
+class ModelSaver:
+    def __init__(self, output_dir: str, remove_before_ckpt: bool = True):
+        self.ckpt_dir = os.path.join(output_dir, "ckpt")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.remove_before_ckpt = remove_before_ckpt
+
+    def _clean(self, pattern: str):
+        for p in glob.glob(os.path.join(self.ckpt_dir, pattern)):
+            os.remove(p)
+
+    def save(self, step: int, params, opt_state=None):
+        if self.remove_before_ckpt:
+            self._clean("model_step_*.npz")
+        save_pytree_npz(
+            os.path.join(self.ckpt_dir, f"model_step_{step}.npz"), params
+        )
+        if opt_state is not None:
+            if self.remove_before_ckpt:
+                self._clean("optimizer_step_*.npz")
+            flat, _ = jax.tree_util.tree_flatten(jax.device_get(opt_state))
+            np.savez(
+                os.path.join(self.ckpt_dir, f"optimizer_step_{step}.npz"),
+                **{str(i): np.asarray(x) for i, x in enumerate(flat)},
+            )
+
+    def save_best(self, metric: str, params):
+        save_pytree_npz(
+            os.path.join(self.ckpt_dir, f"best_{metric}.npz"), params
+        )
+
+
+def _latest_step(ckpt_dir: str, prefix: str):
+    steps = []
+    for p in glob.glob(os.path.join(ckpt_dir, f"{prefix}_step_*")):
+        m = re.search(rf"{prefix}_step_(\d+)", os.path.basename(p))
+        if m:
+            steps.append((int(m.group(1)), p))
+    return max(steps) if steps else (None, None)
+
+
+def resume_latest(output_dir: str, opt_state_template=None):
+    """→ (params, opt_state|None, step) or (None, None, 0)."""
+    ckpt_dir = os.path.join(output_dir, "ckpt")
+    step, model_path = _latest_step(ckpt_dir, "model")
+    if step is None:
+        return None, None, 0
+    params = load_pytree_npz(model_path)
+    opt_state = None
+    _, opt_path = _latest_step(ckpt_dir, "optimizer")
+    if opt_path and opt_state_template is not None:
+        with np.load(opt_path) as z:
+            leaves = [z[str(i)] for i in range(len(z.files))]
+        treedef = jax.tree_util.tree_structure(opt_state_template)
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    LOGGER.info("resumed from %s (step %d)", model_path, step)
+    return params, opt_state, step
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-dir loader (reference inference entry)
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    from mico_tpu.convert import to_numpy
+
+    return to_numpy(sd)
+
+
+def load_from_pretrained_dir(
+    pretrain_dir: str,
+    video_resolution: int = 224,
+    config_overrides: Optional[dict] = None,
+) -> Tuple[dict, MiCoConfig]:
+    """Reference-parity loader (inference_demo.py:14-116): read
+    `log/hps.json`, pick the newest `ckpt/model_step_*`, convert to the
+    param pytree. → (params, MiCoConfig)."""
+    hps = load_hps(pretrain_dir)
+    model_cfg = dict(hps.get("model_cfg", hps))
+    model_cfg["vision_resolution"] = video_resolution
+    if config_overrides:
+        model_cfg.update(config_overrides)
+    cfg = mico_config_from_dict(model_cfg)
+
+    ckpt_dir = os.path.join(pretrain_dir, "ckpt")
+    step, path = _latest_step(ckpt_dir, "model")
+    if path is None:
+        raise FileNotFoundError(f"no model_step_* checkpoint in {ckpt_dir}")
+    LOGGER.info("load_from_pretrained: %s", path)
+
+    if path.endswith(".npz"):
+        params = load_pytree_npz(path)
+    else:
+        from mico_tpu.models.mico import mico_from_torch
+
+        params = mico_from_torch(load_torch_state_dict(path), cfg)
+    return params, cfg

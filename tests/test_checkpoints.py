@@ -1,0 +1,115 @@
+"""Config system, checkpoint save/resume, and the end-to-end pretrained-dir
+load path (hps.json + ckpt/model_step_N) with a native checkpoint."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mico_tpu.config import BertConfig, EvaVitConfig, MiCoConfig
+from mico_tpu.models.mico import MiCoModel, init_mico
+from mico_tpu.train.checkpoints import (
+    ModelSaver,
+    load_from_pretrained_dir,
+    load_pytree_npz,
+    resume_latest,
+    save_pytree_npz,
+)
+from mico_tpu.utils.config_io import (
+    apply_cli_overrides,
+    derive_sample_nums,
+    dump_hps,
+    load_layered_config,
+)
+
+TINY = dict(
+    eva_override=EvaVitConfig(
+        image_size=28, patch_size=14, layers=2, width=32, head_width=16,
+        mlp_ratio=4.0, embed_dim=16,
+    ),
+    bert_override=BertConfig(
+        vocab_size=500, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, encoder_width=32,
+    ),
+    contra_dim=16, compute_dtype="float32", use_flash_attention=False,
+)
+
+
+def test_layered_config_merge_and_cli(tmp_path):
+    exp = {
+        "run_cfg": {"learning_rate": 3e-5},
+        "data_cfg": {
+            "train": [
+                {"vision_sample_num": 4, "audio_sample_num": 2},
+                {"vision_sample_num": 2, "concatenated_nums": 3},
+            ]
+        },
+    }
+    p = tmp_path / "exp.json"
+    p.write_text(json.dumps(exp))
+    cfg = load_layered_config(
+        str(p), argv=["run_cfg.seed=7", "--model_cfg.beam_size", "5"]
+    )
+    assert cfg.run_cfg.learning_rate == 3e-5          # experiment override
+    assert cfg.run_cfg.weight_decay == 0.01           # default survives
+    assert cfg.run_cfg.seed == 7                      # cli override
+    assert cfg.model_cfg.beam_size == 5
+    assert cfg.model_cfg.max_vision_sample_num == 6   # 2*3 concatenated
+    assert cfg.model_cfg.max_audio_sample_num == 2
+    assert cfg.run_cfg.fp16 is False                  # bf16 wins
+
+
+def test_checkpointing_rule():
+    cfg = load_layered_config(argv=["model_cfg.checkpointing=true"])
+    assert cfg.run_cfg.use_ddp is False
+
+
+def test_pytree_npz_roundtrip(tmp_path):
+    cfg = MiCoConfig(**TINY)
+    params = init_mico(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "p.npz")
+    save_pytree_npz(path, params)
+    back = load_pytree_npz(path)
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(back)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_saver_resume_and_pretrained_dir(tmp_path):
+    out = str(tmp_path / "run")
+    cfg = MiCoConfig(**TINY)
+    params = init_mico(jax.random.PRNGKey(1), cfg)
+
+    saver = ModelSaver(out)
+    saver.save(10, params)
+    saver.save(20, params)
+    # remove_before_ckpt: only latest remains
+    files = os.listdir(os.path.join(out, "ckpt"))
+    assert files == ["model_step_20.npz"]
+
+    p, _, step = resume_latest(out)
+    assert step == 20 and p is not None
+
+    # hps.json + load_from_pretrained_dir (the inference-demo path)
+    dump_hps({"model_cfg": {"contra_dim": 16, "vision_encoder_type": "evaclip01_giant"}}, out)
+    params2, cfg2 = load_from_pretrained_dir(
+        out,
+        config_overrides=dict(
+            eva_override=TINY["eva_override"],
+            bert_override=TINY["bert_override"],
+            compute_dtype="float32",
+            use_flash_attention=False,
+        ),
+    )
+    assert cfg2.contra_dim == 16
+    model = MiCoModel(params2, cfg2)
+    x = np.random.default_rng(0).standard_normal((1, 1, 3, 28, 28)).astype(np.float32)
+    import jax.numpy as jnp
+
+    outv = model.forward_vision_encoder(jnp.asarray(x))
+    assert outv.shape == (1, 1, 5, 32)
