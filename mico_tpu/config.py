@@ -265,6 +265,13 @@ class MiCoConfig:
 
 def mico_config_from_dict(d: dict) -> MiCoConfig:
     """Build a MiCoConfig from a (possibly larger) reference-style model_cfg
-    dict, ignoring keys we don't model."""
+    dict, ignoring keys we don't model. `eva_override`/`bert_override` may be
+    given as plain dicts (e.g. from a JSON experiment config) and are lifted
+    into their dataclasses."""
     names = {f.name for f in dataclasses.fields(MiCoConfig)}
-    return MiCoConfig(**{k: v for k, v in d.items() if k in names})
+    kw = {k: v for k, v in d.items() if k in names}
+    if isinstance(kw.get("eva_override"), dict):
+        kw["eva_override"] = EvaVitConfig(**kw["eva_override"])
+    if isinstance(kw.get("bert_override"), dict):
+        kw["bert_override"] = BertConfig(**kw["bert_override"])
+    return MiCoConfig(**kw)

@@ -1,0 +1,264 @@
+"""Evaluation registry: the `evaluation_mm` package the reference imports but
+does not ship (data/utils/pipeline.py:9 imports
+`from evaluation import evaluation_registry`; no such package exists in the
+repo). The call shape is reconstructed from its call sites:
+
+    evaluate_fn = evaluation_registry[model_cfg.evaluation_type]
+    eval_log = evaluate_fn(model, val_loaders, args, global_step)
+    # → {loader_name: {metric: value}}, metrics incl. CIDEr / accuracy /
+    #   video_r1 (best-metric tracking, data/utils/pipeline.py:168-179)
+
+Tasks per loader name "task--dataset" (data/model/vast.py:317-371):
+  ret%XX  — contrastive retrieval recall (t2v/v2t r1/5/10) per subtask
+  cap%XX  — caption generation + BLEU-4/CIDEr-D; captioner_mode emits
+            generate_nums top-k samples per clip instead of scoring
+            (data/model/vast.py:521-553)
+  qa%XX   — beam-decoded short answers + VQA accuracy
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mico_tpu.config import MiCoConfig
+from mico_tpu.data.tokenize_collate import BatchTokenizer
+from mico_tpu.evaluation.metrics import (
+    bleu4,
+    cider_d,
+    retrieval_recall,
+    vqa_accuracy,
+)
+from mico_tpu.generation import generate, generate_answers
+from mico_tpu.models import mico as mico_mod
+from mico_tpu.train.objectives import compute_features, compute_text_feature
+from mico_tpu.utils.logger import LOGGER
+
+
+def _subtasks(task: str):
+    parts = task.split("%")
+    return parts[0], parts[1:]
+
+
+class Evaluator:
+    """Jit-cached eval step functions over a fixed MiCoConfig + params."""
+
+    def __init__(self, cfg: MiCoConfig, params, tokenizer, run_cfg=None):
+        self.cfg = cfg
+        self.params = params
+        self.tok = tokenizer
+        self.run_cfg = run_cfg or {}
+        self.batch_tok = BatchTokenizer(
+            tokenizer,
+            max_caption_len=cfg.max_caption_len,
+            max_omni_caption_len=cfg.max_omni_caption_len,
+            max_subtitle_len=cfg.max_subtitle_len,
+        )
+        self._feat_fns: Dict[str, callable] = {}
+        self._cond_fns: Dict[str, callable] = {}
+
+    def _cond_fn(self, modalities: str):
+        if modalities not in self._cond_fns:
+            @jax.jit
+            def fn(params, batch, m=modalities):
+                return compute_features(params, self.cfg, batch, m)[
+                    f"condition_feats_{m}"
+                ]
+            self._cond_fns[modalities] = fn
+        return self._cond_fns[modalities]
+
+    # ---- retrieval ----
+
+    def _feat_fn(self, modalities: str):
+        if modalities not in self._feat_fns:
+            @jax.jit
+            def fn(params, batch):
+                out = compute_features(params, self.cfg, batch, modalities)
+                return {
+                    f"feat_{modalities}": out[f"feat_{modalities}"],
+                    "feat_t": compute_text_feature(params, self.cfg, batch),
+                }
+            self._feat_fns[modalities] = fn
+        return self._feat_fns[modalities]
+
+    def eval_retrieval(self, loader, task: str) -> Dict[str, float]:
+        _, subs = _subtasks(task)
+        feats = {m: [] for m in (s[1:] for s in subs)}
+        feats_t, txt2vis = [], []
+        n_vis = 0
+        for batch in loader:
+            tb = self.batch_tok(batch, task)
+            arrays = {
+                k: jnp.asarray(v)
+                for k, v in tb.items()
+                if not isinstance(v, list)
+            }
+            b = len(tb["ids"])
+            for sub in subs:
+                m = sub[1:]
+                out = self._feat_fn(m)(self.params, arrays)
+                feats[m].append(np.asarray(out[f"feat_{m}"]))
+            feats_t.append(np.asarray(out["feat_t"]))
+            # ids_txt maps caption rows to visual items (multi-caption sets
+            # arrive one-caption-per-row here, so this is the identity map
+            # offset by the running visual count)
+            txt2vis.extend(range(n_vis, n_vis + b))
+            n_vis += b
+        results: Dict[str, float] = {}
+        t = np.concatenate(feats_t)
+        for m, chunks in feats.items():
+            v = np.concatenate(chunks)
+            sim = t @ v.T
+            for k, val in retrieval_recall(sim, txt2vis).items():
+                results[f"{k}_{m}"] = val
+        results["video_r1"] = float(
+            np.mean([v for k, v in results.items() if k.startswith("video_r1")])
+        )
+        return results
+
+    # ---- captioning ----
+
+    def eval_caption(
+        self, loader, task: str, captioner_mode: bool = False,
+        generate_nums: int = 1, output_path: Optional[str] = None,
+    ) -> Dict[str, float]:
+        _, subs = _subtasks(task)
+        rc = self.run_cfg
+        hyps: Dict[str, list] = {s: [] for s in subs}
+        refs, ids = [], []
+        annotations = []
+        for batch in loader:
+            tb = self.batch_tok(batch, task)
+            arrays = {
+                k: jnp.asarray(v) for k, v in tb.items() if not isinstance(v, list)
+            }
+            for sub in subs:
+                m = sub[1:]
+                cond = self._cond_fn(m)(self.params, arrays)
+                if captioner_mode:
+                    # VAST-27M annotation mode: generate_nums top-k samples
+                    # per clip (data/model/vast.py:521-537)
+                    cond_rep = jnp.repeat(cond, generate_nums, axis=0)
+                    toks = generate(
+                        self.params["bert"],
+                        self.cfg.bert_config,
+                        cond_rep,
+                        max_new_tokens=self.cfg.max_caption_len,
+                        mode="sample",
+                        top_k=int(rc.get("top_k", 10)),
+                        rng=jax.random.PRNGKey(len(ids)),
+                        compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                    )
+                else:
+                    toks = generate(
+                        self.params["bert"],
+                        self.cfg.bert_config,
+                        cond,
+                        max_new_tokens=self.cfg.max_caption_len,
+                        mode="beam",
+                        num_beams=self.cfg.beam_size,
+                        compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                    )
+                hyps[sub].extend(self.tok.batch_decode(np.asarray(toks)))
+            ids.extend(tb["ids"])
+            caps = tb.get("raw_captions")
+            if caps is not None:
+                refs.extend([c if isinstance(c, list) else [c] for c in caps])
+        results: Dict[str, float] = {}
+        if captioner_mode:
+            for sub in subs:
+                grouped = [
+                    hyps[sub][i : i + generate_nums]
+                    for i in range(0, len(hyps[sub]), generate_nums)
+                ]
+                annotations.extend(
+                    {"clip_id": i, f"{sub}_captions": g}
+                    for i, g in zip(ids, grouped)
+                )
+            if output_path:
+                with open(output_path, "w") as f:
+                    json.dump(annotations, f)
+            results["num_annotated"] = float(len(ids))
+            return results
+        for sub in subs:
+            if refs:
+                results[f"CIDEr_{sub}"] = cider_d(hyps[sub], refs)
+                results[f"Bleu4_{sub}"] = bleu4(hyps[sub], refs)
+        if results:
+            results["CIDEr"] = float(
+                np.mean([v for k, v in results.items() if k.startswith("CIDEr")])
+            )
+        return results
+
+    # ---- QA ----
+
+    def eval_qa(self, loader, task: str) -> Dict[str, float]:
+        _, subs = _subtasks(task)
+        preds: Dict[str, list] = {s: [] for s in subs}
+        answers = []
+        for batch in loader:
+            tb = self.batch_tok(batch, task)
+            arrays = {
+                k: jnp.asarray(v) for k, v in tb.items() if not isinstance(v, list)
+            }
+            for sub in subs:
+                m = sub[1:]
+                cond = self._cond_fn(m)(self.params, arrays)
+                toks = generate_answers(
+                    self.params["bert"],
+                    self.cfg.bert_config,
+                    arrays["question_ids"],
+                    arrays["question_mask"],
+                    cond,
+                    max_new_tokens=10,
+                    mode="beam",
+                    num_beams=self.cfg.beam_size,
+                    compute_dtype=jnp.dtype(self.cfg.compute_dtype),
+                )
+                preds[sub].extend(self.tok.batch_decode(np.asarray(toks)))
+            answers.extend(batch["raw_answers"])
+        results = {}
+        for sub in subs:
+            results[f"accuracy_{sub}"] = vqa_accuracy(preds[sub], answers)
+        results["accuracy"] = float(
+            np.mean(list(results.values()))
+        )
+        return results
+
+
+def evaluation_mm(
+    evaluator: Evaluator, val_loaders: Dict, run_cfg, global_step: int
+) -> Dict[str, Dict[str, float]]:
+    """Evaluate every val loader according to its task prefix."""
+    logs: Dict[str, Dict[str, float]] = {}
+    for name, loader in val_loaders.items():
+        task = name.split("--")[0]
+        head = task.split("%")[0].split("_")[0]
+        captioner_mode = bool(run_cfg.get("captioner_mode", False))
+        if head == "ret":
+            logs[name] = evaluator.eval_retrieval(loader, task)
+        elif head == "cap":
+            out_dir = run_cfg.get("output_dir", ".")
+            logs[name] = evaluator.eval_caption(
+                loader,
+                task,
+                captioner_mode=captioner_mode,
+                generate_nums=int(run_cfg.get("generate_nums", 1)),
+                output_path=os.path.join(
+                    out_dir, f"annotations_step{global_step}_{name}.json"
+                ) if captioner_mode else None,
+            )
+        elif head == "qa":
+            logs[name] = evaluator.eval_qa(loader, task)
+        else:
+            LOGGER.warning("unknown eval task %s for loader %s", task, name)
+        LOGGER.info("eval step %d %s: %s", global_step, name, logs.get(name))
+    return logs
+
+
+evaluation_registry = {"evaluation_mm": evaluation_mm}

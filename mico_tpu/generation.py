@@ -44,6 +44,30 @@ from mico_tpu.models.bert import (
 NEG_INF = -1.0e7
 
 
+def _part_causal_mask(
+    l: int, prefix_mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """(B|1, L, L) mask: with no prefix, plain lower-triangular. With a
+    prefix of length Lq (from prefix_mask's width): prefix rows attend the
+    prefix bidirectionally and never the generated part; generated rows
+    attend valid prefix positions plus themselves causally — the reference's
+    part-causal QA mask (data/model/vast.py:595-600) extended stepwise."""
+    causal = jnp.tril(jnp.ones((1, l, l), jnp.float32))
+    if prefix_mask is None:
+        return causal
+    lq = prefix_mask.shape[1]
+    col = jnp.arange(l)[None, None, :]
+    row = jnp.arange(l)[None, :, None]
+    prefix_cols = jnp.pad(
+        prefix_mask.astype(jnp.float32), ((0, 0), (0, l - lq))
+    )[:, None, :]                                   # (B,1,L): valid prefix cols
+    in_prefix_col = (col < lq).astype(jnp.float32)
+    gen_row = (row >= lq).astype(jnp.float32)
+    # prefix rows: prefix_cols only; gen rows: prefix_cols + causal gen cols
+    mask = prefix_cols * in_prefix_col + gen_row * causal * (1.0 - in_prefix_col)
+    return mask
+
+
 def _decode_logits(
     params: dict,
     cfg: BertConfig,
@@ -52,11 +76,11 @@ def _decode_logits(
     cond: jnp.ndarray,            # (B, Lk, H)
     cond_bias: Optional[jnp.ndarray],
     compute_dtype,
+    prefix_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One decoder forward; returns fp32 logits (B, V) at `slot`."""
     b, l = tokens.shape
-    causal = jnp.tril(jnp.ones((1, l, l), jnp.float32))
-    self_bias = extended_attention_mask(causal)
+    self_bias = extended_attention_mask(_part_causal_mask(l, prefix_mask))
     hidden = bert_embeddings(
         params["embeddings"], cfg, tokens, compute_dtype=compute_dtype
     )
@@ -100,22 +124,64 @@ def generate(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "mode", "num_beams", "top_k",
+        "length_penalty", "compute_dtype",
+    ),
+)
+def generate_answers(
+    params: dict,
+    cfg: BertConfig,
+    question_ids: jnp.ndarray,     # (B, Lq) padded question tokens
+    question_mask: jnp.ndarray,    # (B, Lq)
+    condition_feat: jnp.ndarray,
+    *,
+    max_new_tokens: int = 10,
+    mode: str = "beam",
+    num_beams: int = 3,
+    top_k: int = 10,
+    length_penalty: float = 0.6,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """QA decoding: question prefix encoded bidirectionally, answer decoded
+    causally after a [CLS] (the reference part-causal mask + generate flow,
+    data/model/vast.py:617-650). → (B, max_new_tokens + 1) starting [CLS]."""
+    if mode == "beam":
+        return _beam_generate(
+            params, cfg, condition_feat, max_new_tokens, num_beams,
+            length_penalty, compute_dtype,
+            prefix_ids=question_ids, prefix_mask=question_mask,
+        )
+    return _sequential_generate(
+        params, cfg, condition_feat, max_new_tokens, mode, top_k, rng,
+        compute_dtype, prefix_ids=question_ids, prefix_mask=question_mask,
+    )
+
+
 def _sequential_generate(
-    params, cfg, cond, max_new, mode, top_k, rng, compute_dtype
+    params, cfg, cond, max_new, mode, top_k, rng, compute_dtype,
+    prefix_ids=None, prefix_mask=None,
 ):
     b = cond.shape[0]
-    l = max_new + 2                    # [CLS] + max_new + final [MASK] slot
+    lq = 0 if prefix_ids is None else prefix_ids.shape[1]
+    l = lq + max_new + 2               # [prefix] [CLS] + max_new + [MASK] slot
     tokens0 = jnp.full((b, l), BERT_PAD_ID, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(BERT_CLS_ID)
+    if prefix_ids is not None:
+        tokens0 = tokens0.at[:, :lq].set(prefix_ids)
+    tokens0 = tokens0.at[:, lq].set(BERT_CLS_ID)
     finished0 = jnp.zeros((b,), bool)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def step(carry, t):
         tokens, finished, key = carry
-        probe = tokens.at[:, t + 1].set(BERT_MASK_ID)
+        probe = tokens.at[:, lq + t + 1].set(BERT_MASK_ID)
         logits = _decode_logits(
-            params, cfg, probe, t + 1, cond, None, compute_dtype
+            params, cfg, probe, lq + t + 1, cond, None, compute_dtype,
+            prefix_mask=prefix_mask,
         )
         if mode == "greedy":
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -126,34 +192,44 @@ def _sequential_generate(
             nxt = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
             nxt = nxt.astype(jnp.int32)
         nxt = jnp.where(finished, BERT_PAD_ID, nxt)
-        tokens = tokens.at[:, t + 1].set(nxt)
+        tokens = tokens.at[:, lq + t + 1].set(nxt)
         finished = finished | (nxt == BERT_SEP_ID)
         return (tokens, finished, key), None
 
     (tokens, _, _), _ = jax.lax.scan(
         step, (tokens0, finished0, rng), jnp.arange(max_new)
     )
-    return tokens[:, : max_new + 1]
+    return tokens[:, lq : lq + max_new + 1]
 
 
-def _beam_generate(params, cfg, cond, max_new, k, length_penalty, compute_dtype):
+def _beam_generate(
+    params, cfg, cond, max_new, k, length_penalty, compute_dtype,
+    prefix_ids=None, prefix_mask=None,
+):
     b = cond.shape[0]
-    l = max_new + 2
+    lq = 0 if prefix_ids is None else prefix_ids.shape[1]
+    l = lq + max_new + 2
     v = cfg.vocab_size
 
     tokens0 = jnp.full((b, k, l), BERT_PAD_ID, jnp.int32)
-    tokens0 = tokens0.at[:, :, 0].set(BERT_CLS_ID)
+    if prefix_ids is not None:
+        tokens0 = tokens0.at[:, :, :lq].set(prefix_ids[:, None, :])
+    tokens0 = tokens0.at[:, :, lq].set(BERT_CLS_ID)
     live_scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
     fin_tokens0 = tokens0
     fin_scores0 = jnp.full((b, k), NEG_INF)
 
     cond_rep = jnp.repeat(cond, k, axis=0)            # (b*k, Lk, H)
+    prefix_mask_rep = (
+        None if prefix_mask is None else jnp.repeat(prefix_mask, k, axis=0)
+    )
 
     def step(carry, t):
         tokens, live_scores, fin_tokens, fin_scores = carry
-        probe = tokens.at[:, :, t + 1].set(BERT_MASK_ID).reshape(b * k, l)
+        probe = tokens.at[:, :, lq + t + 1].set(BERT_MASK_ID).reshape(b * k, l)
         logits = _decode_logits(
-            params, cfg, probe, t + 1, cond_rep, None, compute_dtype
+            params, cfg, probe, lq + t + 1, cond_rep, None, compute_dtype,
+            prefix_mask=prefix_mask_rep,
         ).reshape(b, k, v)
         logp = jax.nn.log_softmax(logits, axis=-1)
         cand = live_scores[:, :, None] + logp          # (b, k, V)
@@ -168,7 +244,7 @@ def _beam_generate(params, cfg, cond, max_new, k, length_penalty, compute_dtype)
         gathered = jnp.take_along_axis(
             tokens, beam_idx[:, :, None], axis=1
         )                                              # (b, 2k, L)
-        new_tokens = gathered.at[:, :, t + 1].set(tok_idx)
+        new_tokens = gathered.at[:, :, lq + t + 1].set(tok_idx)
 
         # finalize EOS candidates: sequence length so far = t+1 ([CLS]+t)
         pen = jnp.power(jnp.float32(t + 1), length_penalty)
@@ -201,4 +277,4 @@ def _beam_generate(params, cfg, cond, max_new, k, length_penalty, compute_dtype)
     all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)
     best = jnp.argmax(all_scores, axis=1)
     out = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
-    return out[:, : max_new + 1]
+    return out[:, lq : lq + max_new + 1]

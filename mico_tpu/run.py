@@ -1,0 +1,161 @@
+"""Training / testing CLI entry.
+
+Capability parity with the reference entry (data/run.py:13-63):
+
+    python -m mico_tpu.run --config <experiment.json> \
+        [--pretrain_dir DIR] [--output_dir DIR] [run_cfg.mode=testing] [k=v ...]
+
+get_args (layered JSON + k=v CLI overrides) → initialize (seeds, logging,
+optional jax.distributed) → dataloaders → model (init | pretrain_dir |
+resume) → optimizer → train() or test().
+
+TPU-native: one `Mesh` over all devices; params/opt-state sharded by the
+partition rules; per-host data loading; the reference's torchrun/NCCL launch
+(data/scripts/run_vision_captioner.sh) becomes one process per host with
+`jax.distributed.initialize` when `run_cfg.multihost=true`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import jax
+import numpy as np
+
+from mico_tpu.config import mico_config_from_dict
+from mico_tpu.data import create_train_dataloaders, create_val_dataloaders
+from mico_tpu.parallel.mesh import create_mesh
+from mico_tpu.pipeline import test, train
+from mico_tpu.text import BertWordPieceTokenizer
+from mico_tpu.train.checkpoints import (
+    load_from_pretrained_dir,
+    resume_latest,
+)
+from mico_tpu.train.optim import OptimConfig, build_optimizer
+from mico_tpu.train.train_step import shard_train_state
+from mico_tpu.utils.config_io import dump_hps, load_layered_config
+from mico_tpu.utils.logger import LOGGER, add_log_to_file
+
+DEFAULT_VOCAB = os.path.join(
+    os.path.dirname(__file__), "assets", "vocab.txt"
+)
+
+
+def initialize(run_cfg) -> None:
+    """Seeds + logging + optional multi-host init
+    (reference data/utils/initialize.py:8-36)."""
+    if run_cfg.get("multihost"):
+        jax.distributed.initialize()
+    seed = int(run_cfg.get("seed", 50)) + jax.process_index()
+    random.seed(seed)
+    np.random.seed(seed)
+    out = run_cfg.get("output_dir")
+    if out and jax.process_index() == 0:
+        os.makedirs(os.path.join(out, "log"), exist_ok=True)
+        os.makedirs(os.path.join(out, "ckpt"), exist_ok=True)
+        add_log_to_file(os.path.join(out, "log", "log.txt"))
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--pretrain_dir", default=None)
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--vocab", default=None)
+    known, overrides = parser.parse_known_args(argv)
+    args = load_layered_config(known.config, argv=overrides)
+    if known.pretrain_dir:
+        args.run_cfg["pretrain_dir"] = known.pretrain_dir
+    if known.output_dir:
+        args.run_cfg["output_dir"] = known.output_dir
+    args.run_cfg.setdefault("output_dir", "./output")
+    args["_vocab"] = known.vocab
+    return args
+
+
+def main(argv=None):
+    args = get_args(argv)
+    run_cfg, model_cfg = args.run_cfg, args.model_cfg
+    if run_cfg.get("platform"):
+        # must land before the first backend query; the axon TPU plugin
+        # ignores JAX_PLATFORMS, so set the live config too
+        jax.config.update("jax_platforms", run_cfg["platform"])
+    initialize(run_cfg)
+    if jax.process_index() == 0:
+        dump_hps(
+            {k: v for k, v in args.items() if not k.startswith("_")},
+            run_cfg["output_dir"],
+        )
+
+    vocab = args.get("_vocab") or run_cfg.get("vocab") or DEFAULT_VOCAB
+    tokenizer = BertWordPieceTokenizer(vocab)
+
+    mesh = create_mesh(
+        data=-1, model=int(run_cfg.get("model_parallel", 1))
+    )
+    LOGGER.info("mesh: %s over %d devices", mesh.shape, len(jax.devices()))
+
+    meta_loader = create_train_dataloaders(args)
+    val_loaders = create_val_dataloaders(args)
+
+    # model: resume > pretrain_dir > fresh init
+    cfg = mico_config_from_dict(dict(model_cfg))
+    params = None
+    if run_cfg.get("resume"):
+        params, _, start = resume_latest(run_cfg["output_dir"])
+    if params is None and run_cfg.get("pretrain_dir"):
+        params, cfg = load_from_pretrained_dir(
+            run_cfg["pretrain_dir"],
+            video_resolution=int(model_cfg.get("vision_resolution", 224)),
+            config_overrides=dict(model_cfg),
+        )
+    if params is None:
+        from mico_tpu.models import mico as mico_mod
+
+        params = mico_mod.init_mico(
+            jax.random.PRNGKey(int(run_cfg.get("seed", 50))), cfg
+        )
+
+    mode = run_cfg.get("mode", "training")
+    if mode == "training":
+        if meta_loader is None:
+            raise ValueError("training mode requires data_cfg.train")
+        opt_cfg = OptimConfig(
+            learning_rate=float(run_cfg.get("learning_rate", 1e-4)),
+            clip_lr=float(run_cfg.get("clip_lr", 5e-7)),
+            new_lr=float(run_cfg.get("new_lr", 1e-5)),
+            new_params_name=tuple(run_cfg.get("new_params_name", ())),
+            weight_decay=float(run_cfg.get("weight_decay", 0.01)),
+            betas=tuple(run_cfg.get("betas", (0.9, 0.98))),
+            grad_norm=float(run_cfg.get("grad_norm", 2.0)),
+            scheduler=run_cfg.get("scheduler", "warmup_linear"),
+            warmup_ratio=float(run_cfg.get("warmup_ratio", 0.1)),
+            num_train_steps=int(run_cfg.get("num_train_steps", 100000)),
+        )
+        optimizer = build_optimizer(params, opt_cfg)
+        accum = int(run_cfg.get("gradient_accumulation_steps", 1))
+        if accum > 1:
+            import optax
+
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
+        opt_state = optimizer.init(params)
+        params, opt_state = shard_train_state(mesh, params, opt_state)
+        if run_cfg.get("first_eval") and val_loaders:
+            test(cfg, params, val_loaders, run_cfg, tokenizer)
+        train(
+            cfg, params, opt_state, optimizer, meta_loader, val_loaders,
+            run_cfg, tokenizer, mesh=mesh,
+        )
+    elif mode == "testing":
+        logs = test(cfg, params, val_loaders, run_cfg, tokenizer)
+        LOGGER.info("test results: %s", logs)
+        return logs
+    else:
+        raise ValueError(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,170 @@
+"""Runtime pipeline: metrics, tokenize bridge, evaluation, CLI train loop."""
+
+import json
+import os
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from mico_tpu.data.tokenize_collate import MAX_ANSWER_LEN, BatchTokenizer
+from mico_tpu.evaluation.metrics import (
+    bleu4,
+    cider_d,
+    retrieval_recall,
+    vqa_accuracy,
+)
+from mico_tpu.text import BertWordPieceTokenizer
+
+VOCAB = "/root/reference/model/tokenizer/vocab.txt"
+
+
+def test_retrieval_recall_perfect_and_shuffled():
+    sim = np.eye(4)
+    out = retrieval_recall(sim, [0, 1, 2, 3])
+    assert out["t2v_r1"] == 1.0 and out["v2t_r1"] == 1.0
+    # text 0 ranks its match last
+    sim = np.array([[0.0, 0.9, 0.8, 0.7], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]])
+    out = retrieval_recall(sim, [0, 1, 2, 3])
+    assert out["t2v_r1"] == 0.75
+    # multi-caption: two texts per visual item
+    sim = np.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.2, 0.8]])
+    out = retrieval_recall(sim, [0, 0, 1, 1])
+    assert out["t2v_r1"] == 1.0 and out["v2t_r1"] == 1.0
+
+
+def test_caption_metrics_sane():
+    refs = [["a cat sits on the mat"], ["a dog runs in the park"]]
+    perfect = ["a cat sits on the mat", "a dog runs in the park"]
+    wrong = ["quantum flux harmonics", "seven purple elephants"]
+    assert bleu4(perfect, refs) == pytest.approx(1.0)
+    assert cider_d(perfect, refs) > cider_d(wrong, refs)
+    assert bleu4(wrong, refs) < 0.1
+    assert cider_d(wrong, refs) < 1.0
+
+
+def test_vqa_accuracy_rules():
+    assert vqa_accuracy(["yes", "no"], ["yes", "yes"]) == 0.5
+    # list answers use the vqav2 min(matches/3, 1) rule
+    assert vqa_accuracy(["blue"], [["blue", "blue", "blue", "red"]]) == 1.0
+    assert vqa_accuracy(["blue"], [["blue", "red", "red", "red"]]) == pytest.approx(1 / 3)
+    # punctuation/case-insensitive
+    assert vqa_accuracy(["Yes!"], ["yes"]) == 1.0
+
+
+def test_batch_tokenizer_bridge():
+    tok = BertWordPieceTokenizer(VOCAB)
+    bt = BatchTokenizer(tok, max_caption_len=8, max_omni_caption_len=12,
+                        max_subtitle_len=6)
+    batch = {
+        "raw_captions": ["a cat", ["two dogs", "second caption"]],
+        "raw_subtitles": ["hello world", "foo"],
+        "raw_questions": ["what is it", "who is there"],
+        "raw_answers": ["cat", ["dog", "dogs"]],
+    }
+    out = bt(batch, "ret%tva_cap%tva")
+    assert out["caption_ids"].shape == (2, 8)       # no 's' subtask → caption len
+    assert out["subtitle_ids"].shape == (2, 6)
+    assert out["question_ids"].shape == (2, 8)
+    assert out["answer_ids"].shape == (2, MAX_ANSWER_LEN)
+    # list-valued fields use the first element
+    assert tok.decode(out["caption_ids"][1]).startswith("two dogs")
+    assert tok.decode(out["answer_ids"][1]) == "dog"
+    # omni length when a subtitle subtask is present
+    out = bt(batch, "cap%tvas")
+    assert out["caption_ids"].shape == (2, 12)
+    # mask marks non-pad
+    np.testing.assert_array_equal(
+        out["caption_mask"], (out["caption_ids"] != 0).astype(np.int32)
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("clicorpus")
+    (root / "img").mkdir()
+    (root / "wav").mkdir()
+    rng = np.random.default_rng(0)
+    annos = []
+    for i in range(8):
+        cv2.imwrite(
+            str(root / "img" / f"v{i}.jpg"),
+            rng.integers(0, 255, (40, 44, 3), dtype=np.uint8),
+        )
+        w = (rng.standard_normal(8000) * 0.1).clip(-1, 1)
+        with wave_mod.open(str(root / "wav" / f"v{i}.wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes((w * 32767).astype(np.int16).tobytes())
+        annos.append(
+            {"image_id": f"v{i}", "caption": f"photo of item {i}",
+             "question": "what number", "answer": str(i)}
+        )
+    (root / "annos.json").write_text(json.dumps(annos))
+    d = {
+        "txt": str(root / "annos.json"), "vision": str(root / "img"),
+        "audio": str(root / "wav"), "vision_format": "image_rawimage",
+        "audio_sample_num": 2, "n_workers": 2, "type": "annoindexed",
+    }
+    cfg = {
+        "run_cfg": {
+            "seed": 0, "num_train_steps": 2, "valid_freq": 1, "log_every": 1,
+            "gradient_accumulation_steps": 1, "learning_rate": 1e-3,
+            "platform": "cpu",
+        },
+        "model_cfg": {
+            "vision_resolution": 28, "vision_encoder_type": "evaclip01_giant",
+            "audio_melbins": 28, "audio_target_length": 28,
+            "audio_encoder_type": "beats", "max_caption_len": 8,
+            "beam_size": 2, "compute_dtype": "float32",
+            "use_flash_attention": False, "max_vision_sample_num": 1,
+            "max_audio_sample_num": 2,
+            "eva_override": {
+                "image_size": 28, "patch_size": 14, "layers": 2, "width": 64,
+                "head_width": 32, "embed_dim": 64,
+            },
+            "bert_override": {
+                "hidden_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 2, "intermediate_size": 128,
+                "encoder_width": 64,
+            },
+        },
+        "data_cfg": {
+            "train": [{**d, "name": "tiny", "task": "ret%tva_cap%tva",
+                        "training": True, "batch_size": 8, "steps": 2}],
+            "val": [{**d, "name": "tiny", "task": "ret%tva", "training": False,
+                      "batch_size": 4}],
+        },
+    }
+    cfg_path = root / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return root, cfg_path
+
+
+def test_cli_train_end_to_end(cli_corpus, tmp_path):
+    from mico_tpu.run import main
+
+    root, cfg_path = cli_corpus
+    out_dir = str(tmp_path / "out")
+    main(["--config", str(cfg_path), "--output_dir", out_dir,
+          "--vocab", VOCAB])
+    # hps.json round-trip + checkpoints + best model written
+    assert os.path.exists(os.path.join(out_dir, "log", "hps.json"))
+    ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
+    assert any(c.startswith("model_step_2") for c in ckpts)
+    assert any(c.startswith("best_video_r1") for c in ckpts)
+
+
+def test_cli_test_mode(cli_corpus, tmp_path):
+    from mico_tpu.run import main
+
+    root, cfg_path = cli_corpus
+    logs = main(["--config", str(cfg_path), "--output_dir",
+                 str(tmp_path / "out_test"), "--vocab", VOCAB,
+                 "run_cfg.mode=testing"])
+    (name, metrics), = logs.items()
+    assert name.startswith("ret%tva")
+    assert 0.0 <= metrics["video_r1"] <= 1.0
