@@ -135,3 +135,42 @@ def load_bert_module():
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_beats_module():
+    """Import the reference BEATs (torchaudio stubbed — only its kaldi fbank
+    helper is referenced, in a code path the tests never call)."""
+    install_stubs()
+    ta = _stub("torchaudio")
+    comp = _stub("torchaudio.compliance")
+    kaldi = _stub("torchaudio.compliance.kaldi", fbank=None)
+    ta.compliance = comp
+    comp.kaldi = kaldi
+    import importlib.util
+
+    name = "ref_beats"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REF}/data/model/audio_encoders/beats/beats.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ast_module():
+    install_stubs()
+    import importlib.util
+
+    name = "ref_ast"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REF}/data/model/audio_encoders/ast/ast.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -1,0 +1,132 @@
+"""AST / BEATs audio encoders: golden parity vs the torch reference."""
+
+import numpy as np
+import pytest
+import torch
+
+from mico_tpu.models.audio import (
+    AstConfig,
+    BeatsConfig,
+    ast_forward,
+    ast_from_torch,
+    beats_forward,
+    beats_from_torch,
+    init_ast,
+    init_beats,
+)
+from reference_loader import load_ast_module, load_beats_module
+
+import jax
+import jax.numpy as jnp
+
+
+def _randomize(model, seed=1):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    model.eval()
+    return model
+
+
+AST_CFG = AstConfig(
+    hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+    intermediate_size=96, audio_melbins=32, audio_target_length=64,
+)
+
+
+def test_ast_parity():
+    mod = load_ast_module()
+    from easydict import EasyDict as edict
+
+    cfg = edict(
+        attention_dropout=0.0, hidden_act="gelu", hidden_dropout=0.0,
+        hidden_size=48, initializer_range=0.02, intermediate_size=96,
+        num_attention_heads=4, num_hidden_layers=2, checkpointing=False,
+        audio_melbins=32, audio_target_length=64,
+    )
+    emb = _randomize(mod.AudioEmbeddings(cfg), seed=1)
+    enc = _randomize(mod.TransformerEncoder(cfg, mode="prenorm"), seed=2)
+
+    # assemble a VAST-layout state dict (general_module.py naming)
+    sd = {}
+    for k, v in emb.state_dict().items():
+        sd["audio_embeddings." + k] = v
+    for k, v in enc.state_dict().items():
+        sd["audio_encoder." + k.replace("last_layernorm", "last_layernorm")] = v
+    params = ast_from_torch(sd, AST_CFG)
+
+    x = np.random.default_rng(0).standard_normal((2, 64, 32)).astype(np.float32)
+    with torch.no_grad():
+        tokens = emb(torch.from_numpy(x))
+        want, _ = enc(tokens)
+    got = np.asarray(ast_forward(params, AST_CFG, jnp.asarray(x)))
+    assert got.shape == tuple(want.shape)  # (2, 1 + 4*2, 48)
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-4, atol=2e-4)
+
+
+BEATS_CFG = BeatsConfig(
+    embed_dim=32, encoder_layers=2, encoder_embed_dim=48,
+    encoder_ffn_embed_dim=96, encoder_attention_heads=4,
+    conv_pos=16, conv_pos_groups=4, num_buckets=16, max_distance=32,
+)
+
+
+def _ref_beats(mod, cfg: BeatsConfig, seed=1):
+    rc = mod.BEATsConfig(
+        {
+            "input_patch_size": cfg.input_patch_size,
+            "embed_dim": cfg.embed_dim,
+            "conv_bias": cfg.conv_bias,
+            "encoder_layers": cfg.encoder_layers,
+            "encoder_embed_dim": cfg.encoder_embed_dim,
+            "encoder_ffn_embed_dim": cfg.encoder_ffn_embed_dim,
+            "encoder_attention_heads": cfg.encoder_attention_heads,
+            "activation_fn": "gelu",
+            "layer_norm_first": cfg.layer_norm_first,
+            "deep_norm": cfg.deep_norm,
+            "dropout": 0.0, "attention_dropout": 0.0,
+            "activation_dropout": 0.0, "encoder_layerdrop": 0.0,
+            "dropout_input": 0.0,
+            "conv_pos": cfg.conv_pos, "conv_pos_groups": cfg.conv_pos_groups,
+            "relative_position_embedding": cfg.relative_position_embedding,
+            "num_buckets": cfg.num_buckets, "max_distance": cfg.max_distance,
+            "gru_rel_pos": cfg.gru_rel_pos,
+        }
+    )
+    model = mod.BEATs(rc)
+    _randomize(model, seed=seed)
+    return model
+
+
+def test_beats_parity():
+    mod = load_beats_module()
+    ref = _ref_beats(mod, BEATS_CFG)
+    params = beats_from_torch(ref.state_dict(), BEATS_CFG)
+    # (B, T, M) = 2 slices of 64x32 fbank → 2x(4*2) tokens
+    x = np.random.default_rng(0).standard_normal((2, 64, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(beats_forward(params, BEATS_CFG, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_beats_rel_bias_shared_across_layers():
+    mod = load_beats_module()
+    ref = _ref_beats(mod, BEATS_CFG, seed=2)
+    sd = ref.state_dict()
+    params = beats_from_torch(sd, BEATS_CFG)
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"][0]["rel_bias_table"]),
+        np.asarray(params["layers"][1]["rel_bias_table"]),
+    )
+
+
+def test_init_shapes():
+    p = init_ast(jax.random.PRNGKey(0), AST_CFG)
+    out = ast_forward(p, AST_CFG, jnp.zeros((1, 64, 32), jnp.float32))
+    assert out.shape == (1, 1 + (64 // 16) * (32 // 16), 48)
+    p = init_beats(jax.random.PRNGKey(0), BEATS_CFG)
+    out = beats_forward(p, BEATS_CFG, jnp.zeros((1, 64, 32), jnp.float32))
+    assert out.shape == (1, (64 // 16) * (32 // 16), 48)
