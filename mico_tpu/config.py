@@ -134,6 +134,21 @@ VISION_ENCODER_TYPES = {
     "evaclip01_giant": ("EVA01-CLIP-g-14", 1408),
 }
 
+# non-EVA vision towers (reference: data/model/general_module.py:360-375
+# openai clip jit archives; model/mico.py swin path; videoswin for VAST)
+ALT_VISION_DIMS = {
+    "clip_vit_base_16": 768,
+    "clip_vit_base_32": 768,
+    "clip_vit_large_14_336px": 1024,
+    "swin_base_patch4_window7_224_22k": 1024,   # 128 * 2**3
+    "videoswin_base": 1024,
+}
+
+# audio_encoder_type → encoder output dim; 'shared' = MiCo's audio→vision-ViT
+# routing (model/mico.py:92-96), others are VAST's separate towers
+# (data/model/general_module.py:245-314)
+AUDIO_ENCODER_DIMS = {"shared": None, "beats": 768, "ast": 768}
+
 
 def eva_config_for_encoder_type(
     vision_encoder_type: str, image_size: Optional[int] = None
@@ -213,6 +228,11 @@ class MiCoConfig:
     max_omni_caption_len: int = 70
     max_subtitle_len: int = 70
     checkpointing: bool = False     # rematerialize encoder blocks
+    # VAST-style separate audio tower: 'shared' | 'beats' | 'ast'
+    # (reference model_cfg.audio_encoder_type, general_module.py:245-314)
+    audio_encoder_type: str = "shared"
+    audio_melbins: int = 64
+    audio_target_length: int = 1024
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
     param_dtype: str = "float32"
@@ -220,11 +240,20 @@ class MiCoConfig:
     # test/dryrun hooks: override tower architectures with small ones
     eva_override: Optional[EvaVitConfig] = None
     bert_override: Optional[BertConfig] = None
+    vision_override: Optional[object] = None   # non-EVA tower config
+    audio_override: Optional[object] = None    # BeatsConfig | AstConfig
 
     @property
     def vision_dim(self) -> int:
+        if self.vision_override is not None:
+            ov = self.vision_override
+            if hasattr(ov, "num_features"):            # Swin / VideoSwin
+                return ov.num_features
+            return ov.width                            # CLIP ViT
         if self.eva_override is not None:
             return self.eva_override.width
+        if self.vision_encoder_type in ALT_VISION_DIMS:
+            return ALT_VISION_DIMS[self.vision_encoder_type]
         return VISION_ENCODER_TYPES[self.vision_encoder_type][1]
 
     @property
@@ -235,7 +264,13 @@ class MiCoConfig:
 
     @property
     def audio_dim(self) -> int:
-        # Audio reuses the shared vision encoder (model/mico.py:92-96,139-143)
+        # 'shared': audio reuses the vision encoder (model/mico.py:92-96);
+        # beats/ast towers output 768 (general_module.py:253,274)
+        if self.audio_encoder_type != "shared":
+            if self.audio_override is not None:
+                ov = self.audio_override
+                return getattr(ov, "encoder_embed_dim", None) or ov.hidden_size
+            return AUDIO_ENCODER_DIMS[self.audio_encoder_type]
         return self.vision_dim
 
     @property
@@ -248,6 +283,49 @@ class MiCoConfig:
             return self.eva_override
         return eva_config_for_encoder_type(
             self.vision_encoder_type, self.vision_resolution
+        )
+
+    @property
+    def vision_tower_config(self):
+        """Config object for the configured vision tower (any family)."""
+        if self.vision_override is not None:
+            return self.vision_override
+        t = self.vision_encoder_type
+        if t.startswith("evaclip"):
+            return self.eva_config
+        if t.startswith("clip"):
+            from mico_tpu.models.clip_vit import CLIP_VIT_CONFIGS
+
+            name = {
+                "clip_vit_base_16": "clip_vit_base_16",
+                "clip_vit_base_32": "clip_vit_base_16",
+                "clip_vit_large_14_336px": "clip_vit_large_14",
+            }[t]
+            return CLIP_VIT_CONFIGS[name]
+        if t.startswith("videoswin"):
+            from mico_tpu.models.swin import VIDEOSWIN_CONFIGS
+
+            return VIDEOSWIN_CONFIGS["videoswin_base"]
+        if t.startswith("swin"):
+            from mico_tpu.models.swin import SWIN_CONFIGS
+
+            return SWIN_CONFIGS["swin_base_patch4_window7_224_22k"]
+        raise NotImplementedError(t)
+
+    @property
+    def audio_tower_config(self):
+        """Config for the separate audio tower (None when 'shared')."""
+        if self.audio_encoder_type == "shared":
+            return None
+        if self.audio_override is not None:
+            return self.audio_override
+        from mico_tpu.models.audio import AstConfig, BeatsConfig
+
+        if self.audio_encoder_type == "beats":
+            return BeatsConfig()
+        return AstConfig(
+            audio_melbins=self.audio_melbins,
+            audio_target_length=self.audio_target_length,
         )
 
     @property

@@ -77,7 +77,9 @@ def ast_forward(
     x = spectrograms.astype(compute_dtype)
     b, t, m = x.shape
     p = cfg.patch_size
-    # conv k=16 s=16 on (B, 1, T, M) → row-major (T/16, M/16) tokens
+    # conv k=16 s=16 on (B, 1, T, M) → row-major (T/16, M/16) tokens;
+    # a non-multiple trailing edge is truncated (torch conv semantics)
+    x = x[:, : t // p * p, : m // p * p]
     x = x.reshape(b, t // p, p, m // p, p)
     x = x.transpose(0, 1, 3, 2, 4).reshape(b, -1, p * p)
     x = linear(x, params["patch_w"], params["patch_b"])
@@ -233,11 +235,6 @@ def _beats_attention(p, x, cfg: BeatsConfig, position_bias):
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
     attn = (attn - attn.max(axis=-1, keepdims=True)) * alpha
 
-    if position_bias is None and cfg.relative_position_embedding:
-        idx = _rel_bucket_index(n, cfg.num_buckets, cfg.max_distance)
-        position_bias = p["rel_bias_table"][idx.reshape(-1)]
-        position_bias = position_bias.reshape(n, n, h).transpose(2, 0, 1)
-
     if position_bias is not None:
         bias = position_bias[None]                    # (1, H, N, N)
         if cfg.gru_rel_pos:
@@ -287,6 +284,8 @@ def beats_forward(
     x = fbank.astype(compute_dtype)
     b, t, m = x.shape
     ps = cfg.input_patch_size
+    # conv k=s=16 truncates a non-multiple trailing edge (torch semantics)
+    x = x[:, : t // ps * ps, : m // ps * ps]
     x = x.reshape(b, t // ps, ps, m // ps, ps)
     x = x.transpose(0, 1, 3, 2, 4).reshape(b, -1, ps * ps)
     x = linear(x, params["patch_w"], params.get("patch_b"))
@@ -301,7 +300,17 @@ def beats_forward(
         )
 
     da = cfg.deep_norm_alpha
+    # the T5-bucketed relative bias table lives once at the top level (the
+    # reference shares layer 0's nn.Embedding across layers, beats.py:325-328;
+    # a single param avoids aliased leaves, which breaks buffer donation)
     position_bias = None
+    if cfg.relative_position_embedding:
+        n = x.shape[1]
+        idx = _rel_bucket_index(n, cfg.num_buckets, cfg.max_distance)
+        position_bias = params["rel_bias_table"][idx.reshape(-1)]
+        position_bias = position_bias.reshape(
+            n, n, cfg.encoder_attention_heads
+        ).transpose(2, 0, 1)
     for lp in params["layers"]:
         res = x
         h, position_bias = _beats_attention(lp, x, cfg, position_bias)
@@ -336,21 +345,11 @@ def init_beats(key, cfg: BeatsConfig) -> Dict:
             * 0.02,
             "fc2_b": jnp.zeros((e,)),
         }
-        if cfg.relative_position_embedding:
-            lp["rel_bias_table"] = (
-                jax.random.normal(k[6], (cfg.num_buckets, h)) * 0.02
-                if li == 0
-                else None  # shared from layer 0 at convert/apply time
-            )
         if cfg.gru_rel_pos:
             lp["grep_w"] = jax.random.normal(k[7], (cfg.head_dim, 8)) * 0.02
             lp["grep_b"] = jnp.zeros((8,))
             lp["grep_a"] = jnp.ones((h,))
         layers.append(lp)
-    # share the layer-0 bias table (beats.py:325-328)
-    for lp in layers[1:]:
-        if cfg.relative_position_embedding:
-            lp["rel_bias_table"] = layers[0]["rel_bias_table"]
     params = {
         "patch_w": jax.random.normal(ks[-4], (cfg.input_patch_size**2, c)) * 0.02,
         "ln_scale": jnp.ones((c,)), "ln_bias": jnp.zeros((c,)),
@@ -361,6 +360,12 @@ def init_beats(key, cfg: BeatsConfig) -> Dict:
         "enc_ln_scale": jnp.ones((e,)), "enc_ln_bias": jnp.zeros((e,)),
         "layers": layers,
     }
+    if cfg.relative_position_embedding:
+        # single shared table (the reference shares layer 0's embedding
+        # across all layers, beats.py:325-328)
+        params["rel_bias_table"] = (
+            jax.random.normal(ks[-1], (cfg.num_buckets, h)) * 0.02
+        )
     if cfg.conv_bias:
         params["patch_b"] = jnp.zeros((c,))
     if c != e:
@@ -399,12 +404,6 @@ def beats_from_torch(sd: Dict, cfg: BeatsConfig) -> Dict:
             "fc1_w": g(pfx + "fc1.weight").T, "fc1_b": g(pfx + "fc1.bias"),
             "fc2_w": g(pfx + "fc2.weight").T, "fc2_b": g(pfx + "fc2.bias"),
         }
-        if cfg.relative_position_embedding:
-            key = pfx + "self_attn.relative_attention_bias.weight"
-            lp["rel_bias_table"] = g(
-                key if key in sd
-                else "encoder.layers.0.self_attn.relative_attention_bias.weight"
-            )
         if cfg.gru_rel_pos:
             lp["grep_w"] = g(pfx + "self_attn.grep_linear.weight").T
             lp["grep_b"] = g(pfx + "self_attn.grep_linear.bias")
@@ -418,6 +417,10 @@ def beats_from_torch(sd: Dict, cfg: BeatsConfig) -> Dict:
         "enc_ln_bias": g("encoder.layer_norm.bias"),
         "layers": layers,
     }
+    if cfg.relative_position_embedding:
+        params["rel_bias_table"] = g(
+            "encoder.layers.0.self_attn.relative_attention_bias.weight"
+        )
     if "patch_embedding.bias" in sd:
         params["patch_b"] = g("patch_embedding.bias")
     if "post_extract_proj.weight" in sd:

@@ -46,20 +46,22 @@ def init_mico(key: jax.Array, cfg: MiCoConfig) -> dict:
         }
 
     params = {
-        "vision_encoder": vit_mod.init_eva_vit(kv, cfg.eva_config),
+        "vision_encoder": _init_vision_tower(kv, cfg),
         "bert": bert_mod.init_bert(kb, cfg.bert_config),
         # bias-free per-modality contra heads (model/mico.py:36-41,386-390)
         "contra_head_t": {"kernel": rnd((md, cd))},
         "contra_head_s": {"kernel": rnd((md, cd))},
         "contra_head_v": {"kernel": rnd((vd, cd))},
-        "contra_head_a": {"kernel": rnd((vd, cd))},
+        "contra_head_a": {"kernel": rnd((cfg.audio_dim, cd))},
         "contra_head_d": {"kernel": rnd((vd, cd))},
         # fused-modality heads with bias (model/mico.py:391-394)
-        "contra_head_va": {"kernel": rnd((2 * vd, cd)), "bias": jnp.zeros((cd,))},
+        "contra_head_va": {
+            "kernel": rnd((vd + cfg.audio_dim, cd)), "bias": jnp.zeros((cd,))
+        },
         "contra_head_id": {"kernel": rnd((2 * vd, cd)), "bias": jnp.zeros((cd,))},
         "contra_head_vs": {"kernel": rnd((vd + md, cd)), "bias": jnp.zeros((cd,))},
         "contra_head_vas": {
-            "kernel": rnd((2 * vd + md, cd)), "bias": jnp.zeros((cd,))
+            "kernel": rnd((vd + cfg.audio_dim + md, cd)), "bias": jnp.zeros((cd,))
         },
         "contra_temp": jnp.asarray(0.07, jnp.float32),
         "itm_head": {
@@ -71,7 +73,7 @@ def init_mico(key: jax.Array, cfg: MiCoConfig) -> dict:
         "audio_frame_embedding": rnd((1, cfg.max_audio_sample_num, md)),
         "depth_frame_embedding": rnd((1, cfg.max_depth_sample_num, md)),
         "hidden_trans_vision": trans_head(vd),
-        "hidden_trans_audio": trans_head(vd),
+        "hidden_trans_audio": trans_head(cfg.audio_dim),
         "hidden_trans_depth": trans_head(vd),
         "hidden_trans_subtitle": trans_head(md),
         "vision_type_embeddings": rnd((1, 1, md)),
@@ -79,7 +81,38 @@ def init_mico(key: jax.Array, cfg: MiCoConfig) -> dict:
         "depth_type_embeddings": rnd((1, 1, md)),
         "subtitle_type_embeddings": rnd((1, 1, md)),
     }
+    if cfg.audio_encoder_type != "shared":
+        params["audio_encoder"] = _init_audio_tower(key, cfg)
     return params
+
+
+def _init_vision_tower(key, cfg: MiCoConfig):
+    t = cfg.vision_encoder_type
+    if cfg.eva_override is not None or t.startswith("evaclip"):
+        return vit_mod.init_eva_vit(key, cfg.eva_config)
+    tower_cfg = cfg.vision_tower_config
+    if t.startswith("clip"):
+        from mico_tpu.models.clip_vit import init_clip_vit
+
+        return init_clip_vit(key, tower_cfg)
+    if t.startswith("videoswin"):
+        from mico_tpu.models.swin import init_videoswin
+
+        return init_videoswin(key, tower_cfg)
+    if t.startswith("swin"):
+        from mico_tpu.models.swin import init_swin
+
+        return init_swin(key, tower_cfg)
+    raise NotImplementedError(t)
+
+
+def _init_audio_tower(key, cfg: MiCoConfig):
+    from mico_tpu.models.audio import init_ast, init_beats
+
+    tower_cfg = cfg.audio_tower_config
+    if cfg.audio_encoder_type.startswith("beats"):
+        return init_beats(key, tower_cfg)
+    return init_ast(key, tower_cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -95,25 +128,77 @@ def forward_vision_encoder(
     b, n = pixels.shape[:2]
     flat = pixels.reshape(b * n, *pixels.shape[2:])
     _, compute_dtype = cfg.dtypes()
-    tokens = vit_mod.eva_vit_forward(
-        params["vision_encoder"],
-        cfg.eva_config,
-        flat,
-        return_all_features=True,
-        compute_dtype=compute_dtype,
-        attn_impl="flash" if cfg.use_flash_attention else "xla",
-        remat=cfg.checkpointing if remat is None else remat,
-    )
+    t = cfg.vision_encoder_type
+    if cfg.eva_override is not None or t.startswith("evaclip"):
+        tokens = vit_mod.eva_vit_forward(
+            params["vision_encoder"],
+            cfg.eva_config,
+            flat,
+            return_all_features=True,
+            compute_dtype=compute_dtype,
+            attn_impl="flash" if cfg.use_flash_attention else "xla",
+            remat=cfg.checkpointing if remat is None else remat,
+        )
+    elif t.startswith("clip"):
+        from mico_tpu.models.clip_vit import clip_vit_forward
+
+        tokens = clip_vit_forward(
+            params["vision_encoder"], cfg.vision_tower_config, flat,
+            return_all_features=True, compute_dtype=compute_dtype,
+        )
+    elif t.startswith("videoswin"):
+        # (b, n, 3, h, w) → (b, 3, n, h, w) volume; output tokens per frame
+        # (reference general_module.py:391-395)
+        from mico_tpu.models.swin import videoswin_forward
+
+        vol = videoswin_forward(
+            params["vision_encoder"], cfg.vision_tower_config,
+            pixels.transpose(0, 2, 1, 3, 4), compute_dtype=compute_dtype,
+        )                                   # (b, C, D, H, W)
+        bb, c, d = vol.shape[:3]
+        tokens = vol.transpose(0, 2, 3, 4, 1).reshape(bb, d, -1, c)
+        return tokens
+    elif t.startswith("swin"):
+        from mico_tpu.models.swin import swin_forward_features
+
+        tokens = swin_forward_features(
+            params["vision_encoder"], cfg.vision_tower_config, flat,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        raise NotImplementedError(t)
     return tokens.reshape(b, n, *tokens.shape[1:])
 
 
 def forward_audio_encoder(
     params: dict, cfg: MiCoConfig, spectrograms: jnp.ndarray
 ) -> jnp.ndarray:
-    """(b, n, T, M) fbank slices → tile to 3 channels → shared ViT
-    (model/mico.py:139-143)."""
-    x = jnp.repeat(spectrograms[:, :, None, :, :], 3, axis=2)
-    return forward_vision_encoder(params, cfg, x)
+    """(b, n, T, M) fbank slices → per-slice token sequences (b, n, x, C).
+
+    'shared': tile to 3 channels through the shared ViT (model/mico.py:139-143).
+    'beats'/'ast': the VAST separate towers (general_module.py:405-424;
+    ast transposes to (M, T) first)."""
+    if cfg.audio_encoder_type == "shared":
+        x = jnp.repeat(spectrograms[:, :, None, :, :], 3, axis=2)
+        return forward_vision_encoder(params, cfg, x)
+    _, compute_dtype = cfg.dtypes()
+    b, n = spectrograms.shape[:2]
+    flat = spectrograms.reshape(b * n, *spectrograms.shape[2:])
+    if cfg.audio_encoder_type.startswith("ast"):
+        from mico_tpu.models.audio import ast_forward
+
+        tokens = ast_forward(
+            params["audio_encoder"], cfg.audio_tower_config,
+            flat.transpose(0, 2, 1), compute_dtype=compute_dtype,
+        )
+    else:
+        from mico_tpu.models.audio import beats_forward
+
+        tokens = beats_forward(
+            params["audio_encoder"], cfg.audio_tower_config, flat,
+            compute_dtype=compute_dtype,
+        )
+    return tokens.reshape(b, n, *tokens.shape[1:])
 
 
 def forward_depth_encoder(
@@ -151,16 +236,33 @@ def forward_multimodal_encoder(
 # ---------------------------------------------------------------------------
 
 
-def pool_frames_for_contra(feature: jnp.ndarray) -> jnp.ndarray:
-    """(b, n, x, c): CLS token per frame, mean over frames — the
-    clip/evaclip rule (model/mico.py:157-182; swin uses patch-mean, handled
-    by its own encoder wrapper)."""
-    return jnp.mean(feature[:, :, 0], axis=1)
+def pool_frames_for_contra(
+    feature: jnp.ndarray, patch_mean: bool = False
+) -> jnp.ndarray:
+    """(b, n, x, c): CLS token per frame (clip/evaclip rule) or mean over
+    patches (swin/videoswin/beats rule), then mean over frames
+    (model/mico.py:157-182; general_module.py:426-449)."""
+    per_frame = feature.mean(axis=2) if patch_mean else feature[:, :, 0]
+    return jnp.mean(per_frame, axis=1)
 
 
-pool_vision_for_contra = pool_frames_for_contra
-pool_audio_for_contra = pool_frames_for_contra
-pool_depth_for_contra = pool_frames_for_contra
+def pool_vision_for_contra(cfg: MiCoConfig, feature: jnp.ndarray) -> jnp.ndarray:
+    t = cfg.vision_encoder_type
+    return pool_frames_for_contra(
+        feature, patch_mean=t.startswith(("swin", "videoswin"))
+    )
+
+
+def pool_audio_for_contra(cfg: MiCoConfig, feature: jnp.ndarray) -> jnp.ndarray:
+    # ast keeps CLS; beats (and the shared ViT route, which has a CLS) —
+    # beats has no CLS → patch-mean (general_module.py:441-449)
+    return pool_frames_for_contra(
+        feature, patch_mean=cfg.audio_encoder_type.startswith("beats")
+    )
+
+
+def pool_depth_for_contra(cfg: MiCoConfig, feature: jnp.ndarray) -> jnp.ndarray:
+    return pool_vision_for_contra(cfg, feature)
 
 
 def pool_text_for_contra(feature: jnp.ndarray) -> jnp.ndarray:
@@ -397,10 +499,13 @@ class MiCoModel:
 
     # -- pooling / heads ---------------------------------------------------
     def pool_vision_for_contra(self, feature):
-        return pool_frames_for_contra(feature)
+        return pool_vision_for_contra(self.config, feature)
 
-    pool_audio_for_contra = pool_vision_for_contra
-    pool_depth_for_contra = pool_vision_for_contra
+    def pool_audio_for_contra(self, feature):
+        return pool_audio_for_contra(self.config, feature)
+
+    def pool_depth_for_contra(self, feature):
+        return pool_depth_for_contra(self.config, feature)
 
     def pool_text_for_contra(self, feature):
         return pool_text_for_contra(feature)

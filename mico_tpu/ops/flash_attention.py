@@ -32,26 +32,34 @@ MAX_RESIDENT_KV = 8192
 DEFAULT_TQ = 128
 
 
-# HIGHEST keeps fp32 inputs exact (parity runs); for bf16 inputs it is the
-# same single MXU pass as DEFAULT, so there is no production cost.
-_PREC = jax.lax.Precision.HIGHEST
+def _prec_for(dtype) -> jax.lax.Precision:
+    """HIGHEST keeps fp32 inputs exact (parity runs). For bf16 inputs use
+    DEFAULT: the MXU's native bf16×bf16→fp32 pass — Mosaic rejects a
+    contract_precision<fp32> (HIGHEST) matmul with bf16 operands
+    ("Bad lhs type")."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0, 0].astype(jnp.float32) * scale          # (TQ, D)
     k = k_ref[0, 0]                                      # (Lk, D)
+    prec = _prec_for(k.dtype)
     s = jax.lax.dot_general(
         q.astype(k.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PREC,
+        precision=prec,
     )                                                    # (TQ, Lk)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     v = v_ref[0, 0]                                      # (Lk, D)
     o = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=_PREC
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec
     )
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
@@ -59,11 +67,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     q = q_ref[0, 0].astype(jnp.float32) * scale
     k = k_ref[0, 0]
+    prec = _prec_for(k.dtype)
     s = jax.lax.dot_general(
         q.astype(k.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PREC,
+        precision=prec,
     )
     s = s + b_ref[0, 0].astype(jnp.float32)              # (TQ|1, Lk) broadcast
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -71,7 +80,7 @@ def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     l = jnp.sum(p, axis=-1, keepdims=True)
     v = v_ref[0, 0]
     o = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=_PREC
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec
     )
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 

@@ -64,7 +64,7 @@ def compute_features(
 
     if "v" in modalities:
         vis = mico_mod.forward_vision_encoder(params, cfg, batch["vision_pixels"])
-        pooled["v"] = mico_mod.pool_frames_for_contra(vis)
+        pooled["v"] = mico_mod.pool_vision_for_contra(cfg, vis)
         out["condition_feats_v"] = mico_mod.get_multimodal_forward_input_vision(
             params, cfg, vis
         )
@@ -72,7 +72,7 @@ def compute_features(
         aud = mico_mod.forward_audio_encoder(
             params, cfg, batch["audio_spectrograms"]
         )
-        pooled["a"] = mico_mod.pool_frames_for_contra(aud)
+        pooled["a"] = mico_mod.pool_audio_for_contra(cfg, aud)
         out["condition_feats_a"] = mico_mod.get_multimodal_forward_input_audio(
             params, cfg, aud
         )

@@ -117,7 +117,17 @@ def load_layered_config(
     }
     if experiment_json:
         with open(experiment_json) as f:
-            cfg = deep_merge(cfg, json.load(f))
+            exp = json.load(f)
+        # reference-style default chaining (args.py:12-57): a section may
+        # name a base JSON via {"default": "file.json", ...overrides};
+        # the file resolves relative to the experiment config's directory
+        base_dir = os.path.dirname(os.path.abspath(experiment_json))
+        for section in ("run_cfg", "model_cfg"):
+            sec = exp.get(section)
+            if isinstance(sec, dict) and isinstance(sec.get("default"), str):
+                with open(os.path.join(base_dir, sec.pop("default"))) as f:
+                    exp[section] = deep_merge(json.load(f), sec)
+        cfg = deep_merge(cfg, exp)
     cfg = apply_cli_overrides(cfg, argv)
     cfg = derive_sample_nums(cfg)
     # special rules (args.py:115-116,126-127)

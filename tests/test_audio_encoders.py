@@ -113,13 +113,20 @@ def test_beats_parity():
 
 
 def test_beats_rel_bias_shared_across_layers():
+    # the reference shares layer 0's relative_attention_bias embedding across
+    # all layers (beats.py:325-328); we store it once at the top level so the
+    # pytree has no aliased leaves (buffer donation requires unique buffers)
     mod = load_beats_module()
     ref = _ref_beats(mod, BEATS_CFG, seed=2)
     sd = ref.state_dict()
     params = beats_from_torch(sd, BEATS_CFG)
+    assert "rel_bias_table" in params
+    assert all("rel_bias_table" not in lp for lp in params["layers"])
     np.testing.assert_array_equal(
-        np.asarray(params["layers"][0]["rel_bias_table"]),
-        np.asarray(params["layers"][1]["rel_bias_table"]),
+        np.asarray(params["rel_bias_table"]),
+        np.asarray(
+            sd["encoder.layers.0.self_attn.relative_attention_bias.weight"]
+        ),
     )
 
 
