@@ -75,7 +75,9 @@ def main():
         ).astype(jnp.float32)
         feat_t = feat_t / jnp.linalg.norm(feat_t, axis=-1, keepdims=True)
         sims = feat_t @ jnp.concatenate([feat_i, feat_v, feat_a]).T
-        return feat_i, feat_v, feat_a, feat_t, sims
+        # scalar checksum: a cheap host readback of this value forces real
+        # completion (the tunneled platform's block_until_ready is async-ack)
+        return feat_i, feat_v, feat_a, feat_t, sims, sims.sum()
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.standard_normal((S, 1, 3, 224, 224)), jnp.bfloat16)
@@ -87,12 +89,17 @@ def main():
     # warmup / compile
     out = omni_step(params, image, video, audio, ids, mask)
     jax.block_until_ready(out)
+    float(out[-1])
 
+    # The device executes queued steps in order, so reading back the LAST
+    # step's scalar waits for all of them; block_until_ready alone does not
+    # synchronize through the axon tunnel.
     n_steps = 8
     t0 = time.perf_counter()
     for _ in range(n_steps):
         out = omni_step(params, image, video, audio, ids, mask)
     jax.block_until_ready(out)
+    float(out[-1])
     dt = time.perf_counter() - t0
 
     samples_per_s = S * n_steps / dt

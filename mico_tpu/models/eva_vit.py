@@ -182,17 +182,30 @@ def _block(
             [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
         )
         qkv = linear(h, bp["qkv_w"], qkv_bias)                    # (B, L, 3W)
-        qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                          # (B, H, L, D)
-        if rope_cos is not None:
-            q = jnp.concatenate(
-                [q[:, :, :1], apply_rope(q[:, :, 1:], rope_cos, rope_sin)], axis=2
-            )
-            k = jnp.concatenate(
-                [k[:, :, :1], apply_rope(k[:, :, 1:], rope_cos, rope_sin)], axis=2
-            )
-        o = multi_head_attention(q, k, v, scale=hd**-0.5, impl=attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(b, l, w)
+        impl = attn_impl
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        if rope_cos is None and impl == "flash":
+            # hot path: keep the projection row layout end-to-end — no
+            # (B, H, L, D) transposes in HBM (see packed_self_attention)
+            from mico_tpu.ops.flash_attention import packed_self_attention
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)                  # (B, L, W)
+            o = packed_self_attention(q, k, v, nh, hd**-0.5)
+        else:
+            qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, L, D)
+            if rope_cos is not None:
+                q = jnp.concatenate(
+                    [q[:, :, :1], apply_rope(q[:, :, 1:], rope_cos, rope_sin)],
+                    axis=2,
+                )
+                k = jnp.concatenate(
+                    [k[:, :, :1], apply_rope(k[:, :, 1:], rope_cos, rope_sin)],
+                    axis=2,
+                )
+            o = multi_head_attention(q, k, v, scale=hd**-0.5, impl=impl)
+            o = o.transpose(0, 2, 1, 3).reshape(b, l, w)
         if cfg.subln:
             o = layer_norm(o, bp["inner_attn_ln_w"], bp["inner_attn_ln_b"], eps)
         return linear(o, bp["proj_w"], bp["proj_b"])
