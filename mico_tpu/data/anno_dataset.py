@@ -39,7 +39,20 @@ _FIELDS = (
     "question_ids",
     "audio_spectrograms",
     "raw_subtitles",
+    # VAST-27M per-source caption streams (the task engine picks one per
+    # fused-modality subtask; reference vast.py:655-780)
+    "raw_vision_captions",
+    "raw_audio_captions",
+    "raw_omni_captions",
 )
+
+# annotation-key spellings accepted for the VAST-27M caption sources
+_VAST27M_KEYS = {
+    "raw_vision_captions": ("vision_cap", "vision_caption", "vision_captions"),
+    "raw_audio_captions": ("audio_cap", "audio_caption", "audio_captions"),
+    "raw_omni_captions": ("vast_cap", "omni_cap", "omni_caption",
+                          "omni_captions"),
+}
 
 
 class AnnoIndexedDataset:
@@ -110,6 +123,11 @@ class AnnoIndexedDataset:
                 )
                 return self.__getitem__(resample, _depth + 1)
 
+        vast27m = tuple(
+            next((anno[k] for k in keys if k in anno), None)
+            for keys in _VAST27M_KEYS.values()
+        )
+
         return (
             id_,
             raw_captions,
@@ -120,7 +138,7 @@ class AnnoIndexedDataset:
             question_id,
             audio_spectrograms,
             raw_subtitles,
-        )
+        ) + vast27m
 
 
 def anno_collate(samples) -> dict:

@@ -69,6 +69,19 @@ class BatchTokenizer:
             ]
             ids, mask = self._encode(answers, MAX_ANSWER_LEN)
             out["answer_ids"], out["answer_mask"] = ids, mask
+        # VAST-27M pretraining batches carry per-source caption lists
+        # (vision/audio/omni); each subtask picks its own caption stream
+        # (reference vast.py:107-137 {vision,audio,omni}_caption_tokens)
+        for src, length in (
+            ("vision", self.max_caption_len),
+            ("audio", self.max_caption_len),
+            ("omni", self.max_omni_caption_len),
+        ):
+            raw = f"raw_{src}_captions"
+            if raw in batch and f"{src}_caption_ids" not in batch:
+                ids, mask = self._encode(batch[raw], length)
+                out[f"{src}_caption_ids"] = ids
+                out[f"{src}_caption_mask"] = mask
         return out
 
 

@@ -202,6 +202,54 @@ def _sequential_generate(
     return tokens[:, lq : lq + max_new + 1]
 
 
+def generate_scst(
+    params: dict,
+    cfg: BertConfig,
+    condition_feat: jnp.ndarray,
+    *,
+    max_new_tokens: int = 40,
+    rng: jax.Array,
+    compute_dtype=jnp.float32,
+):
+    """Self-critical (SCST) sampling: full-softmax multinomial decode that
+    also returns the log-probability of each sampled token WITH gradients —
+    the reference's grad-enabled `generate_scst`/`sample_scst`
+    (model/bert.py:1505,1231; logP collection at model/bert.py:1452-1456).
+
+    Returns (tokens (B, max_new_tokens+1) starting [CLS],
+             logp   (B, max_new_tokens), zeroed after [SEP]).
+    The policy-gradient REINFORCE loss is then
+    `-(reward - baseline) * logp.sum(-1)` over e.g. CIDEr rewards; sampling
+    is through `jax.random.categorical`, so only `logp` carries grad (the
+    standard score-function estimator)."""
+    b = condition_feat.shape[0]
+    l = max_new_tokens + 2
+    tokens0 = jnp.full((b, l), BERT_PAD_ID, jnp.int32).at[:, 0].set(BERT_CLS_ID)
+    finished0 = jnp.zeros((b,), bool)
+
+    def step(carry, t):
+        tokens, finished, key = carry
+        probe = tokens.at[:, t + 1].set(BERT_MASK_ID)
+        logits = _decode_logits(
+            params, cfg, probe, t + 1, condition_feat, None, compute_dtype
+        )
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+        logp_t = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, axis=-1), nxt[:, None], axis=1
+        )[:, 0]
+        logp_t = jnp.where(finished, 0.0, logp_t)
+        nxt = jnp.where(finished, BERT_PAD_ID, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        finished = finished | (nxt == BERT_SEP_ID)
+        return (tokens, finished, key), logp_t
+
+    (tokens, _, _), logp = jax.lax.scan(
+        step, (tokens0, finished0, rng), jnp.arange(max_new_tokens)
+    )
+    return tokens[:, : max_new_tokens + 1], logp.T
+
+
 def _beam_generate(
     params, cfg, cond, max_new, k, length_penalty, compute_dtype,
     prefix_ids=None, prefix_mask=None,

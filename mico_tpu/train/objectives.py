@@ -102,14 +102,30 @@ def compute_features(
     return out
 
 
-def compute_text_feature(params, cfg, batch):
+def compute_text_feature(params, cfg, batch, ids_key="caption_ids",
+                         mask_key="caption_mask"):
     seq = mico_mod.forward_multimodal_encoder(
-        params, cfg, batch["caption_ids"], batch["caption_mask"]
+        params, cfg, batch[ids_key], batch[mask_key]
     ).sequence_output
     feat = mico_mod.contra_head(
         params["contra_head_t"], mico_mod.pool_text_for_contra(seq)
     )
     return _normalize(feat)
+
+
+def caption_stream_for(batch: Dict, mods: str):
+    """Per-subtask caption stream selection.
+
+    VAST-27M batches carry three caption sources; 'tv' trains against the
+    vision caption, 'ta' against the audio caption, fused groups against the
+    omni caption (reference forward_{cap,ret}_vast27m, vast.py:655-780).
+    Other datasets have a single `caption_ids` stream."""
+    if any(f"{s}_caption_ids" in batch for s in ("vision", "audio", "omni")):
+        src = {"v": "vision", "a": "audio"}.get(mods, "omni")
+        key = f"{src}_caption_ids"
+        if key in batch:
+            return batch[key], batch[f"{src}_caption_mask"]
+    return batch["caption_ids"], batch["caption_mask"]
 
 
 # ---------------------------------------------------------------------------
@@ -303,10 +319,18 @@ def task_losses(
             feats.update(compute_features(params, cfg, batch, mods))
 
         if kind == "ret":
-            feat_t = compute_text_feature(params, cfg, batch)
             itc, itm = [], []
+            feat_t_cache = {}
             for g in groups:
                 mods = g[1:]
+                cap_ids, cap_mask = caption_stream_for(batch, mods)
+                ck = id(cap_ids)
+                if ck not in feat_t_cache:
+                    feat_t_cache[ck] = compute_text_feature(
+                        params, cfg, {"ids": cap_ids, "mask": cap_mask},
+                        ids_key="ids", mask_key="mask",
+                    )
+                feat_t = feat_t_cache[ck]
                 rng, k = jax.random.split(rng)
                 li, s_t2c, s_c2t = itc_loss(
                     feats[f"feat_{mods}"], feat_t, params["contra_temp"],
@@ -317,8 +341,7 @@ def task_losses(
                     cfg.itm_ratio
                     * itm_loss(
                         k, params, cfg, feats[f"condition_feats_{mods}"],
-                        batch["caption_ids"], batch["caption_mask"],
-                        s_t2c, s_c2t, axis_name,
+                        cap_ids, cap_mask, s_t2c, s_c2t, axis_name,
                     )
                 )
             losses["loss_itc"] = sum(itc) / len(itc)
@@ -327,11 +350,12 @@ def task_losses(
             caps = []
             for g in groups:
                 mods = g[1:]
+                cap_ids, cap_mask = caption_stream_for(batch, mods)
                 rng, k = jax.random.split(rng)
                 caps.append(
                     caption_loss(
                         k, params, cfg, feats[f"condition_feats_{mods}"],
-                        batch["caption_ids"], batch["caption_mask"],
+                        cap_ids, cap_mask,
                     )
                 )
             losses["loss_cap"] = sum(caps) / len(caps)

@@ -168,3 +168,40 @@ def test_beam_not_worse_than_greedy(setup):
         sg = _sequence_logprob(ref_model, greedy[i, 1:], cond[i : i + 1])
         sb = _sequence_logprob(ref_model, beam[i, 1:], cond[i : i + 1])
         assert sb >= sg - 1e-4
+
+
+def test_scst_sampling(setup):
+    """generate_scst: grad-enabled multinomial decode returning per-step
+    logP of the sampled tokens (reference model/bert.py:1231,1452-1456)."""
+    from mico_tpu.generation import generate_scst
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    tokens, logp = generate_scst(
+        params, CFG, cond_j, max_new_tokens=8, rng=jax.random.PRNGKey(3)
+    )
+    assert tokens.shape == (2, 9) and logp.shape == (2, 8)
+    assert (tokens[:, 0] == CLS).all()
+    # logP of a sampled token is a valid log-probability
+    assert (np.asarray(logp) <= 0).all()
+    # after [SEP], tokens are PAD and logp contributions are zeroed
+    toks = np.asarray(tokens)
+    lp = np.asarray(logp)
+    for b in range(toks.shape[0]):
+        sep = np.where(toks[b] == SEP)[0]
+        if sep.size:
+            assert (toks[b, sep[0] + 1:] == PAD).all()
+            assert (lp[b, sep[0]:] == 0).all()
+
+    # REINFORCE gradient flows into the decoder parameters
+    def loss(params):
+        _, lp = generate_scst(
+            params, CFG, cond_j, max_new_tokens=4, rng=jax.random.PRNGKey(3)
+        )
+        return -jnp.sum(lp)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)
+    )
+    assert np.isfinite(gnorm) and gnorm > 0

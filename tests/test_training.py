@@ -134,3 +134,33 @@ def test_data_parallel_equivalence(rng, params):
         np.testing.assert_allclose(
             float(losses_1[k]), float(losses_8[k]), rtol=2e-4, atol=2e-4
         )
+
+
+def test_vast27m_caption_streams(rng, params):
+    """VAST-27M batches: 'tv' trains on the vision caption, 'ta' on the
+    audio caption, fused groups on the omni caption (vast.py:655-780)."""
+    from mico_tpu.train.objectives import caption_stream_for
+
+    batch = make_batch(rng, 4)
+    for src, length in (("vision", 12), ("audio", 12), ("omni", 14)):
+        batch[f"{src}_caption_ids"] = jnp.asarray(
+            rng.integers(200, 20000, (4, length)), jnp.int32
+        ).at[:, 0].set(101)
+        batch[f"{src}_caption_mask"] = jnp.ones((4, length), jnp.int32)
+
+    ids, _ = caption_stream_for(batch, "v")
+    np.testing.assert_array_equal(ids, batch["vision_caption_ids"])
+    ids, _ = caption_stream_for(batch, "a")
+    np.testing.assert_array_equal(ids, batch["audio_caption_ids"])
+    ids, _ = caption_stream_for(batch, "va")
+    np.testing.assert_array_equal(ids, batch["omni_caption_ids"])
+    # non-vast27m batch falls back to the single stream
+    ids, _ = caption_stream_for(make_batch(rng, 4), "v")
+    assert ids.shape == (4, 12)
+
+    losses = task_losses(
+        jax.random.PRNGKey(0), params, CFG, batch, "ret%tv%ta%tva_cap%tv%tva",
+        axis_name=None,
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
