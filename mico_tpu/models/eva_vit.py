@@ -164,6 +164,17 @@ def patch_embed(params: dict, cfg: EvaVitConfig, pixels: jnp.ndarray) -> jnp.nda
     return linear(x, params["kernel"], params["bias"])
 
 
+def _drop_path(key: Optional[jax.Array], rate, x: jnp.ndarray) -> jnp.ndarray:
+    """Stochastic depth on the residual branch (reference DropPath,
+    eva_vit_model.py per-block drop-path schedule): per-sample Bernoulli
+    keep, scaled by 1/keep_prob. Identity when no rng (eval)."""
+    if key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, 1))
+    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros_like(x))
+
+
 def _block(
     x: jnp.ndarray,
     bp: dict,
@@ -171,6 +182,8 @@ def _block(
     rope_cos: Optional[jnp.ndarray],
     rope_sin: Optional[jnp.ndarray],
     attn_impl: str,
+    dp_key: Optional[jax.Array] = None,
+    dp_rate=0.0,
 ) -> jnp.ndarray:
     """One transformer block on (B, L, W). bp holds this layer's params."""
     b, l, w = x.shape
@@ -233,13 +246,25 @@ def _block(
 
     attn_out = scaled(attention, "gamma_1")
     mlp_out = scaled(mlp, "gamma_2")
+    if dp_key is None:
+        ka = kb = None
+    else:
+        ka, kb = jax.random.split(dp_key)
 
     if cfg.postnorm:
-        x = x + layer_norm(attn_out(x), bp["norm1_w"], bp["norm1_b"], eps)
-        x = x + layer_norm(mlp_out(x), bp["norm2_w"], bp["norm2_b"], eps)
+        x = x + _drop_path(
+            ka, dp_rate, layer_norm(attn_out(x), bp["norm1_w"], bp["norm1_b"], eps)
+        )
+        x = x + _drop_path(
+            kb, dp_rate, layer_norm(mlp_out(x), bp["norm2_w"], bp["norm2_b"], eps)
+        )
     else:
-        x = x + attn_out(layer_norm(x, bp["norm1_w"], bp["norm1_b"], eps))
-        x = x + mlp_out(layer_norm(x, bp["norm2_w"], bp["norm2_b"], eps))
+        x = x + _drop_path(
+            ka, dp_rate, attn_out(layer_norm(x, bp["norm1_w"], bp["norm1_b"], eps))
+        )
+        x = x + _drop_path(
+            kb, dp_rate, mlp_out(layer_norm(x, bp["norm2_w"], bp["norm2_b"], eps))
+        )
     return x
 
 
@@ -252,12 +277,16 @@ def eva_vit_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
+    train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """pixels (B, 3, H, W) → (B, seq_len, width) if return_all_features,
     else pooled (B, width) per reference semantics (eva_vit_model.py:611-650).
 
-    Inference path (dropout/drop-path are eval-time no-ops in the reference;
-    training-mode stochastic depth lives in the training module)."""
+    With `train_rng` set, the training-time stochastic regularizers run:
+    PatchDropout keeping a random (1 - cfg.patch_dropout) patch subset per
+    sample with CLS exempt (reference transformer.py:144-185, applied after
+    pos-embed eva_vit_model.py:617-631), and per-block stochastic depth on a
+    linear 0→cfg.drop_path_rate schedule. Both are no-ops at eval."""
     x = pixels.astype(compute_dtype)
     x = patch_embed(params["patch_embed"], cfg, x)
     b = x.shape[0]
@@ -273,13 +302,46 @@ def eva_vit_forward(
     else:
         cos, sin = None, None
 
-    def body(h, bp):
-        return _block(h, bp, cfg, cos, sin, attn_impl), None
+    dp_keys = None
+    if train_rng is not None:
+        train_rng, pd_rng = jax.random.split(train_rng)
+        if cfg.patch_dropout > 0.0:
+            n_patches = x.shape[1] - 1
+            n_keep = max(1, int(n_patches * (1.0 - cfg.patch_dropout)))
+            scores = jax.random.uniform(pd_rng, (b, n_patches))
+            keep = jax.lax.top_k(scores, n_keep)[1]            # (B, n_keep)
+            patches = jnp.take_along_axis(
+                x[:, 1:], keep[:, :, None], axis=1
+            )
+            x = jnp.concatenate([x[:, :1], patches], axis=1)
+            if cos is not None:
+                # per-sample rope tables for the kept patches
+                # (reference rope.py:121-135 patch-dropout gather path)
+                cos = cos[keep][:, None]                        # (B,1,n_keep,D)
+                sin = sin[keep][:, None]
+        if cfg.drop_path_rate > 0.0:
+            dp_keys = jax.random.split(train_rng, cfg.layers)
+
+    dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.layers)
+
+    if dp_keys is None:
+        def body(h, bp):
+            return _block(h, bp, cfg, cos, sin, attn_impl), None
+
+        xs = params["blocks"]
+    else:
+        def body(h, xs):
+            bp, key, rate = xs
+            return _block(
+                h, bp, cfg, cos, sin, attn_impl, dp_key=key, dp_rate=rate
+            ), None
+
+        xs = (params["blocks"], dp_keys, dp_rates)
 
     if remat:
         body = jax.checkpoint(body)
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = jax.lax.scan(body, x, xs)
 
     if not cfg.global_average_pool:
         x = layer_norm(x, params["norm_w"], params["norm_b"], cfg.ln_eps)
