@@ -67,6 +67,34 @@ def _wave_to_fbank(wave, melbins: int, resize_melbin_num: int, mean, std):
     return (fb - mean) / (2.0 * std)
 
 
+OPENAI_DATASET_MEAN = CLIP_MEAN   # reference model/evaclip/constants.py:1-2
+OPENAI_DATASET_STD = CLIP_STD
+
+
+def resize_max_size(
+    frames: np.ndarray, max_size: int, fill: float = 0.0
+) -> np.ndarray:
+    """Aspect-preserving longest-side resize + center pad to a square —
+    the reference `ResizeMaxSize` eval transform
+    (model/evaclip/transform.py:13-36). frames: (n, 3, H, W) in [0, 1]."""
+    h, w = frames.shape[-2:]
+    scale = max_size / float(max(h, w))
+    if scale == 1.0:
+        return frames
+    nh, nw = round(h * scale), round(w * scale)
+    x = np.asarray(
+        jax.image.resize(
+            jnp.asarray(frames), (*frames.shape[:-2], nh, nw), "bicubic"
+        )
+    )
+    ph, pw = max_size - nh, max_size - nw
+    return np.pad(
+        x,
+        ((0, 0), (0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)),
+        constant_values=fill,
+    )
+
+
 class ImageProcessor:
     def __init__(
         self,
@@ -75,7 +103,7 @@ class ImageProcessor:
         image_transforms: str = "none",
         training: bool = True,
     ):
-        if image_transforms not in ("none", "crop_flip"):
+        if image_transforms not in ("none", "crop_flip", "resize_longest_max"):
             raise NotImplementedError(image_transforms)
         self.resolution = image_resolution
         self.mean, self.std = _stats_for(image_encoder_type)
@@ -99,6 +127,11 @@ class ImageProcessor:
             m = np.asarray(self.mean, np.float32).reshape(1, 3, 1, 1)
             s = np.asarray(self.std, np.float32).reshape(1, 3, 1, 1)
             return (frames - m) / s
+        if self.transforms == "resize_longest_max":
+            frames = resize_max_size(frames, r)
+            m = np.asarray(self.mean, np.float32).reshape(1, 3, 1, 1)
+            s = np.asarray(self.std, np.float32).reshape(1, 3, 1, 1)
+            return ((frames - m) / s).astype(np.float32)
         out = _resize_normalize(
             jnp.asarray(frames), r, self.mean, self.std
         )
