@@ -100,3 +100,34 @@ def test_audio_processor_missing_file_returns_zeros():
     out = proc("/nonexistent/a.wav")
     assert out.shape == (2, 128, 64)
     assert (out == 0).all()
+
+
+def test_native_video_decoder(tmp_path):
+    """C++ libav batched frame gather (csrc/video_decode.cpp) matches the
+    cv2 fallback exactly, including out-of-order and duplicate indices."""
+    import cv2
+
+    from mico_tpu.media.video_io import (
+        _lib,
+        _read_frames_cv2,
+        read_frames_chw,
+        video_num_frames,
+    )
+
+    path = str(tmp_path / "clip.mp4")
+    w, h, n = 64, 48, 25
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for i in range(n):
+        f = np.full((h, w, 3), (i * 9) % 256, np.uint8)
+        f[:8, :8] = [250, 10, 10]
+        vw.write(f)
+    vw.release()
+
+    if _lib() is None:
+        pytest.skip("native media lib unavailable")
+    assert video_num_frames(path) == n
+    idx = [3, 0, 24, 11, 11, 7]
+    nat = read_frames_chw(path, idx)
+    ref = _read_frames_cv2(path, idx)
+    assert nat.shape == (6, 3, h, w)
+    np.testing.assert_allclose(nat, ref, atol=0.05)
