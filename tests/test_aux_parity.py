@@ -61,3 +61,42 @@ def test_pretrained_registry(tmp_path):
     ) == str(f)
     assert P.verify_checkpoint(str(f), P.sha256_file(str(f))[:12])
     assert not P.verify_checkpoint(str(f), "deadbeef")
+
+
+def test_profiling_utils():
+    import jax
+    from mico_tpu.config import EVA_VIT_CONFIGS
+    from mico_tpu.utils.profiling import (
+        StepTimer,
+        annotate_fn,
+        bert_flops,
+        eva_vit_flops,
+    )
+
+    # ViT-g ≈ 0.52 TFLOP/frame (BASELINE.md estimate)
+    g = eva_vit_flops(EVA_VIT_CONFIGS["EVA01-CLIP-g-14"])
+    assert 0.4e12 < g < 0.7e12
+    assert bert_flops(12, 768, 30, 3072, cross_len=257) > bert_flops(
+        12, 768, 30, 3072
+    )
+
+    timer = StepTimer(warmup=0)
+    with timer:
+        out = jnp.ones((4,)) * 2
+        timer.sync(out)
+    assert timer.last_ms > 0 and timer.mean_ms > 0
+
+    @annotate_fn
+    def f(x):
+        return x + 1
+
+    assert float(f(jnp.asarray(1.0))) == 2.0
+
+
+def test_download_corpus_gated(capsys):
+    from mico_tpu.tools.download_corpus import V2D_CONFIG, main
+
+    assert V2D_CONFIG["reading"]["yt_args"]["download_size"] == 360
+    rc = main(["list.parquet", "./out"])
+    assert rc == 1  # video2dataset absent here: print invocation, exit 1
+    assert "video2dataset" in capsys.readouterr().out
