@@ -53,6 +53,10 @@ class EvaVitConfig:
     naiveswiglu: bool = False
     subln: bool = False
     ln_eps: float = 1e-6
+    # BEiT-style relative position bias (eva_vit_model.py:451-485,514-517):
+    # shared = one table for all blocks; per-block = a table per layer
+    use_shared_rel_pos_bias: bool = False
+    use_rel_pos_bias: bool = False
 
     @property
     def num_heads(self) -> int:

@@ -142,6 +142,10 @@ def eva_vit_from_torch(
     if "blocks.0.gamma_1" in sd:
         blocks["gamma_1"] = stack("blocks.{}.gamma_1")
         blocks["gamma_2"] = stack("blocks.{}.gamma_2")
+    if "blocks.0.attn.relative_position_bias_table" in sd:
+        blocks["rel_pos_bias_table"] = stack(
+            "blocks.{}.attn.relative_position_bias_table"
+        )
 
     params = {
         "patch_embed": {
@@ -154,6 +158,10 @@ def eva_vit_from_torch(
         "norm_w": jnp.asarray(sd["norm.weight"]),
         "norm_b": jnp.asarray(sd["norm.bias"]),
     }
+    if "rel_pos_bias.relative_position_bias_table" in sd:
+        params["rel_pos_bias_table"] = jnp.asarray(
+            sd["rel_pos_bias.relative_position_bias_table"]
+        )
     if "head.weight" in sd:
         params["head"] = {
             "kernel": jnp.asarray(_t(sd["head.weight"])),

@@ -131,6 +131,10 @@ def init_eva_vit(key: jax.Array, cfg: EvaVitConfig) -> dict:
     if cfg.ls_init_value is not None:
         blocks["gamma_1"] = cfg.ls_init_value * jnp.ones((d, w))
         blocks["gamma_2"] = cfg.ls_init_value * jnp.ones((d, w))
+    if cfg.use_rel_pos_bias:
+        blocks["rel_pos_bias_table"] = jnp.zeros(
+            (d, num_relative_distance(cfg.grid_size), cfg.num_heads)
+        )
 
     params = {
         "patch_embed": {
@@ -143,7 +147,47 @@ def init_eva_vit(key: jax.Array, cfg: EvaVitConfig) -> dict:
         "norm_w": jnp.ones((w,)), "norm_b": jnp.zeros((w,)),
         "head": {"kernel": tn((w, cfg.embed_dim)), "bias": jnp.zeros((cfg.embed_dim,))},
     }
+    if cfg.use_shared_rel_pos_bias:
+        params["rel_pos_bias_table"] = jnp.zeros(
+            (num_relative_distance(cfg.grid_size), cfg.num_heads)
+        )
     return params
+
+
+# ---------------------------------------------------------------------------
+# BEiT-style relative position bias (eva_vit_model.py:451-485)
+# ---------------------------------------------------------------------------
+
+
+def num_relative_distance(grid: int) -> int:
+    # (2g-1)^2 in-window offsets + 3 special buckets (cls→tok, tok→cls,
+    # cls→cls)
+    return (2 * grid - 1) ** 2 + 3
+
+
+@functools.lru_cache(maxsize=8)
+def rel_pos_index(grid: int) -> np.ndarray:
+    """(L, L) int bucket index over the (CLS + grid²) token sequence."""
+    coords = np.stack(
+        np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    ).reshape(2, -1)                                     # (2, g²)
+    rel = coords[:, :, None] - coords[:, None, :]        # (2, g², g²)
+    rel = rel.transpose(1, 2, 0) + (grid - 1)            # to [0, 2g-2]
+    flat = rel[:, :, 0] * (2 * grid - 1) + rel[:, :, 1]
+    n = num_relative_distance(grid)
+    idx = np.zeros((grid * grid + 1, grid * grid + 1), np.int32)
+    idx[1:, 1:] = flat
+    idx[0, :] = n - 3
+    idx[:, 0] = n - 2
+    idx[0, 0] = n - 1
+    return idx
+
+
+def rel_pos_bias_from_table(table: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """(num_rel_dist, nh) table → additive (1, nh, L, L) attention bias."""
+    idx = jnp.asarray(rel_pos_index(grid))
+    bias = table[idx.reshape(-1)].reshape(*idx.shape, -1)
+    return bias.transpose(2, 0, 1)[None]
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +228,7 @@ def _block(
     attn_impl: str,
     dp_key: Optional[jax.Array] = None,
     dp_rate=0.0,
+    shared_rel_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One transformer block on (B, L, W). bp holds this layer's params."""
     b, l, w = x.shape
@@ -195,10 +240,15 @@ def _block(
             [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
         )
         qkv = linear(h, bp["qkv_w"], qkv_bias)                    # (B, L, 3W)
+        rel_bias = shared_rel_bias
+        if "rel_pos_bias_table" in bp:     # per-block tables (use_rel_pos_bias)
+            rel_bias = rel_pos_bias_from_table(
+                bp["rel_pos_bias_table"], cfg.grid_size
+            )
         impl = attn_impl
         if impl == "auto":
             impl = "flash" if jax.default_backend() == "tpu" else "xla"
-        if rope_cos is None and impl == "flash":
+        if rope_cos is None and rel_bias is None and impl == "flash":
             # hot path: keep the projection row layout end-to-end — no
             # (B, H, L, D) transposes in HBM (see packed_self_attention)
             from mico_tpu.ops.flash_attention import packed_self_attention
@@ -217,7 +267,9 @@ def _block(
                     [k[:, :, :1], apply_rope(k[:, :, 1:], rope_cos, rope_sin)],
                     axis=2,
                 )
-            o = multi_head_attention(q, k, v, scale=hd**-0.5, impl=impl)
+            o = multi_head_attention(
+                q, k, v, bias=rel_bias, scale=hd**-0.5, impl=impl
+            )
             o = o.transpose(0, 2, 1, 3).reshape(b, l, w)
         if cfg.subln:
             o = layer_norm(o, bp["inner_attn_ln_w"], bp["inner_attn_ln_b"], eps)
@@ -324,16 +376,25 @@ def eva_vit_forward(
 
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.layers)
 
+    shared_bias = None
+    if cfg.use_shared_rel_pos_bias:
+        shared_bias = rel_pos_bias_from_table(
+            params["rel_pos_bias_table"], cfg.grid_size
+        )
+
     if dp_keys is None:
         def body(h, bp):
-            return _block(h, bp, cfg, cos, sin, attn_impl), None
+            return _block(
+                h, bp, cfg, cos, sin, attn_impl, shared_rel_bias=shared_bias
+            ), None
 
         xs = params["blocks"]
     else:
         def body(h, xs):
             bp, key, rate = xs
             return _block(
-                h, bp, cfg, cos, sin, attn_impl, dp_key=key, dp_rate=rate
+                h, bp, cfg, cos, sin, attn_impl, dp_key=key, dp_rate=rate,
+                shared_rel_bias=shared_bias,
             ), None
 
         xs = (params["blocks"], dp_keys, dp_rates)

@@ -123,11 +123,20 @@ def main(argv=None):
     if mode == "training":
         if meta_loader is None:
             raise ValueError("training mode requires data_cfg.train")
+        frozen = tuple(
+            pfx
+            for flag, pfx in (
+                ("frozen_vision", "vision_encoder"),
+                ("frozen_audio", "audio_encoder"),
+            )
+            if model_cfg.get(flag)
+        )
         opt_cfg = OptimConfig(
             learning_rate=float(run_cfg.get("learning_rate", 1e-4)),
             clip_lr=float(run_cfg.get("clip_lr", 5e-7)),
             new_lr=float(run_cfg.get("new_lr", 1e-5)),
             new_params_name=tuple(run_cfg.get("new_params_name", ())),
+            frozen_prefixes=frozen,
             weight_decay=float(run_cfg.get("weight_decay", 0.01)),
             betas=tuple(run_cfg.get("betas", (0.9, 0.98))),
             grad_norm=float(run_cfg.get("grad_norm", 2.0)),

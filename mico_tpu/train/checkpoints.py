@@ -134,20 +134,55 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return to_numpy(sd)
 
 
+def _hf_trainer_state_dict(pretrain_dir: str):
+    """HuggingFace-trainer layout: `checkpoint-N/pytorch_model.bin`, possibly
+    sharded as `pytorch_model-0000i-of-0000n.bin` (reference
+    data/utils/build_model.py:65-88). Returns the merged state dict or None
+    when the layout is absent."""
+    import glob
+
+    steps = []
+    for d in os.listdir(pretrain_dir) if os.path.isdir(pretrain_dir) else []:
+        if d.startswith("checkpoint-") and d.split("-")[-1].isdigit():
+            steps.append(int(d.split("-")[-1]))
+    if not steps:
+        return None
+    cdir = os.path.join(pretrain_dir, f"checkpoint-{max(steps)}")
+    single = os.path.join(cdir, "pytorch_model.bin")
+    shards = sorted(glob.glob(os.path.join(cdir, "pytorch_model-*.bin")))
+    if os.path.exists(single):
+        LOGGER.info("load_from_pretrained: %s", single)
+        return load_torch_state_dict(single)
+    if shards:
+        merged: Dict[str, np.ndarray] = {}
+        for s in shards:
+            LOGGER.info("load_from_pretrained shard: %s", s)
+            merged.update(load_torch_state_dict(s))
+        return merged
+    return None
+
+
 def load_from_pretrained_dir(
     pretrain_dir: str,
     video_resolution: int = 224,
     config_overrides: Optional[dict] = None,
 ) -> Tuple[dict, MiCoConfig]:
-    """Reference-parity loader (inference_demo.py:14-116): read
-    `log/hps.json`, pick the newest `ckpt/model_step_*`, convert to the
-    param pytree. → (params, MiCoConfig)."""
+    """Reference-parity loader (inference_demo.py:14-116 +
+    build_model.py:65-103): read `log/hps.json`, pick the newest HF-trainer
+    `checkpoint-N` or `ckpt/model_step_*`, convert to the param pytree.
+    → (params, MiCoConfig)."""
     hps = load_hps(pretrain_dir)
     model_cfg = dict(hps.get("model_cfg", hps))
     model_cfg["vision_resolution"] = video_resolution
     if config_overrides:
         model_cfg.update(config_overrides)
     cfg = mico_config_from_dict(model_cfg)
+
+    hf_sd = _hf_trainer_state_dict(pretrain_dir)
+    if hf_sd is not None:
+        from mico_tpu.models.mico import mico_from_torch
+
+        return mico_from_torch(hf_sd, cfg), cfg
 
     ckpt_dir = os.path.join(pretrain_dir, "ckpt")
     step, path = _latest_step(ckpt_dir, "model")

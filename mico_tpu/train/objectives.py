@@ -223,6 +223,23 @@ def itm_loss(
     return loss
 
 
+def compute_slice_scores(
+    params: dict,
+    cfg: MiCoConfig,
+    condition_feats: jnp.ndarray,     # (b, Lc, H) per-slice condition feats
+    input_ids: jnp.ndarray,           # (b, L)
+    attention_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """ITM match probability per (text, condition-slice) pair — the
+    reference's slice-ranking helper for long-video retrieval
+    (vast.py:373-380): BERT cross-attn CLS → itm_head → softmax[:, 1]."""
+    seq = mico_mod.forward_multimodal_encoder(
+        params, cfg, input_ids, attention_mask, condition_feats
+    ).sequence_output
+    logits = mico_mod.itm_head(params, seq[:, 0])
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+
 # ---------------------------------------------------------------------------
 # Captioning / QA masks
 # ---------------------------------------------------------------------------

@@ -27,6 +27,10 @@ class OptimConfig:
     clip_lr: float = 5e-7
     new_lr: float = 1e-5
     new_params_name: Tuple[str, ...] = ()
+    # reference model_cfg.frozen_vision / frozen_audio
+    # (general_module.py:204-223: requires_grad=False + eval mode); here the
+    # frozen subtrees get optax.set_to_zero so their state never moves
+    frozen_prefixes: Tuple[str, ...] = ()
     weight_decay: float = 0.01
     betas: Tuple[float, float] = (0.9, 0.98)
     eps: float = 1e-8
@@ -57,13 +61,19 @@ def _path_names(path) -> Tuple[str, ...]:
     )
 
 
-def param_group_labels(params, new_params_name: Sequence[str] = ()):
+def param_group_labels(
+    params,
+    new_params_name: Sequence[str] = (),
+    frozen_prefixes: Sequence[str] = (),
+):
     """Pytree of group labels mirroring the reference grouping rules."""
 
     def label(path, leaf):
         names = _path_names(path)
         joined = ".".join(names)
         leaf_name = names[-1]
+        if names and any(names[0] == p for p in frozen_prefixes):
+            return "frozen"
         nd = "_nd" if _is_no_decay(leaf_name) else ""
         if any(m in joined for m in new_params_name):
             return "new" + nd
@@ -102,8 +112,11 @@ def build_optimizer(
         "vision_nd": adamw(cfg.clip_lr, 0.0),
         "new": adamw(cfg.new_lr, cfg.weight_decay),
         "new_nd": adamw(cfg.new_lr, 0.0),
+        "frozen": optax.set_to_zero(),
     }
-    labels = param_group_labels(params, cfg.new_params_name)
+    labels = param_group_labels(
+        params, cfg.new_params_name, cfg.frozen_prefixes
+    )
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_norm),
         optax.multi_transform(groups, labels),

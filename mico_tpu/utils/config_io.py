@@ -128,6 +128,27 @@ def load_layered_config(
                 with open(os.path.join(base_dir, sec.pop("default"))) as f:
                     exp[section] = deep_merge(json.load(f), sec)
         cfg = deep_merge(cfg, exp)
+    # pretrain_dir inheritance (args.py:40-47): the pretrained run's
+    # model_cfg overrides the global inherit keys plus any listed in this
+    # config's model_cfg.inherit_keys — BEFORE CLI overrides
+    pretrain_dir = cfg["run_cfg"].get("pretrain_dir")
+    for i, a in enumerate(argv):        # CLI may set it (args.py:40)
+        if a == "--pretrain_dir" and i + 1 < len(argv):
+            pretrain_dir = argv[i + 1]
+        elif a.startswith("--pretrain_dir="):
+            pretrain_dir = a.split("=", 1)[1]
+    hps_path = (
+        os.path.join(pretrain_dir, "log", "hps.json") if pretrain_dir else ""
+    )
+    if hps_path and os.path.exists(hps_path):
+        with open(hps_path) as f:
+            pre_model_cfg = json.load(f).get("model_cfg", {})
+        inherit = set(GLOBAL_INHERIT_KEYS) | set(
+            cfg["model_cfg"].get("inherit_keys", ())
+        )
+        cfg["model_cfg"].update(
+            {k: v for k, v in pre_model_cfg.items() if k in inherit}
+        )
     cfg = apply_cli_overrides(cfg, argv)
     cfg = derive_sample_nums(cfg)
     # special rules (args.py:115-116,126-127)
@@ -151,6 +172,9 @@ def load_hps(pretrain_dir: str) -> AttrDict:
     with open(os.path.join(pretrain_dir, "log", "hps.json")) as f:
         return AttrDict.deep(json.load(f))
 
+
+# always inherited from a pretrain_dir's hps.json (args.py:45)
+GLOBAL_INHERIT_KEYS = ("vision_encoder_type", "pool_video")
 
 # defaults mirroring data/caption_config/default_run_cfg.json and
 # default_model_cfg.json

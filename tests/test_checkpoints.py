@@ -113,3 +113,27 @@ def test_saver_resume_and_pretrained_dir(tmp_path):
 
     outv = model.forward_vision_encoder(jnp.asarray(x))
     assert outv.shape == (1, 1, 5, 32)
+
+
+def test_hf_trainer_sharded_checkpoint(tmp_path):
+    """HF-trainer layout: checkpoint-N/pytorch_model-*-of-*.bin shards
+    merged, newest step picked (reference build_model.py:65-88)."""
+    import torch
+
+    from mico_tpu.train.checkpoints import _hf_trainer_state_dict
+
+    old = tmp_path / "checkpoint-100"
+    old.mkdir()
+    torch.save({"a": torch.zeros(1)}, old / "pytorch_model.bin")
+    new = tmp_path / "checkpoint-200"
+    new.mkdir()
+    torch.save(
+        {"a": torch.ones(2)}, new / "pytorch_model-00001-of-00002.bin"
+    )
+    torch.save(
+        {"b": torch.full((3,), 2.0)}, new / "pytorch_model-00002-of-00002.bin"
+    )
+    sd = _hf_trainer_state_dict(str(tmp_path))
+    assert set(sd) == {"a", "b"}
+    assert sd["a"].shape == (2,)  # newest step won
+    assert _hf_trainer_state_dict(str(tmp_path / "nope")) is None

@@ -15,11 +15,12 @@ from mico_tpu.models.eva_vit import eva_vit_forward
 from reference_loader import load_eva_vit_module
 
 
-def build_reference(cfg: EvaVitConfig, rope_env: str):
+def build_reference(cfg: EvaVitConfig, rope_env: str, **extra):
     os.environ["RoPE"] = rope_env
     mod = load_eva_vit_module()
     torch.manual_seed(0)
     model = mod.EVAVisionTransformer(
+        **extra,
         img_size=cfg.image_size,
         patch_size=cfg.patch_size,
         num_classes=cfg.embed_dim,
@@ -95,6 +96,28 @@ def test_eva_vit_parity(rng, name):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
     cos = np.sum(got * want) / (np.linalg.norm(got) * np.linalg.norm(want))
     assert cos > 0.99999
+
+
+def test_eva_vit_shared_rel_pos_bias(rng):
+    """BEiT-style shared relative position bias
+    (eva_vit_model.py:451-485,514-517)."""
+    from dataclasses import replace
+
+    cfg = replace(CASES["eva01_mini"], use_shared_rel_pos_bias=True)
+    ref = build_reference(cfg, rope_env="0", use_shared_rel_pos_bias=True)
+    x = rng.standard_normal((2, 3, cfg.image_size, cfg.image_size)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        want = ref.forward_features(
+            torch.from_numpy(x), return_all_features=True
+        ).numpy()
+    params = eva_vit_from_torch(ref.state_dict(), cfg)
+    assert "rel_pos_bias_table" in params
+    got = np.asarray(
+        eva_vit_forward(params, cfg, jnp.asarray(x), return_all_features=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_eva_vit_pooled_output(rng):

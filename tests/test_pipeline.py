@@ -168,3 +168,36 @@ def test_cli_test_mode(cli_corpus, tmp_path):
     (name, metrics), = logs.items()
     assert name.startswith("ret%tva")
     assert 0.0 <= metrics["video_r1"] <= 1.0
+
+
+def test_pretrain_dir_inherit_keys(tmp_path):
+    """model_cfg keys inherited from the pretrain run's hps.json
+    (reference args.py:40-47)."""
+    import json
+
+    from mico_tpu.utils.config_io import load_layered_config
+
+    pre = tmp_path / "pretrained"
+    (pre / "log").mkdir(parents=True)
+    (pre / "log" / "hps.json").write_text(json.dumps({
+        "model_cfg": {
+            "vision_encoder_type": "evaclip02_large",
+            "pool_video": True,
+            "contra_dim": 256,
+            "itm_ratio": 0.5,
+        }
+    }))
+    exp = tmp_path / "exp.json"
+    exp.write_text(json.dumps({
+        "run_cfg": {"pretrain_dir": str(pre)},
+        "model_cfg": {"inherit_keys": ["contra_dim"],
+                      "vision_encoder_type": "evaclip01_giant"},
+        "data_cfg": {},
+    }))
+    cfg = load_layered_config(str(exp))
+    # global inherit keys + listed keys come from the pretrain run
+    assert cfg.model_cfg.vision_encoder_type == "evaclip02_large"
+    assert cfg.model_cfg.pool_video is True
+    assert cfg.model_cfg.contra_dim == 256
+    # unlisted keys do NOT inherit
+    assert cfg.model_cfg.get("itm_ratio") != 0.5

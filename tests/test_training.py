@@ -164,3 +164,76 @@ def test_vast27m_caption_streams(rng, params):
     )
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_frozen_param_groups(rng, params):
+    """frozen_vision/frozen_audio → the subtree's updates are zero
+    (reference general_module.py:204-223 requires_grad=False)."""
+    import optax
+
+    from mico_tpu.train.optim import OptimConfig, build_optimizer
+
+    opt = build_optimizer(
+        params,
+        OptimConfig(num_train_steps=10, warmup_ratio=0.0,
+                    frozen_prefixes=("vision_encoder",)),
+    )
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    vis = jax.tree.leaves(updates["vision_encoder"])
+    assert all(float(jnp.abs(u).max()) == 0.0 for u in vis)
+    other = jax.tree.leaves(updates["bert"])
+    assert any(float(jnp.abs(u).max()) > 0.0 for u in other)
+
+
+def test_compute_slice_scores(rng, params):
+    from mico_tpu.train.objectives import compute_features, compute_slice_scores
+
+    batch = make_batch(rng, 3)
+    feats = compute_features(params, CFG, batch, "v")
+    scores = compute_slice_scores(
+        params, CFG, feats["condition_feats_v"],
+        batch["caption_ids"], batch["caption_mask"],
+    )
+    assert scores.shape == (3,)
+    assert ((np.asarray(scores) >= 0) & (np.asarray(scores) <= 1)).all()
+
+
+def test_host_object_collectives():
+    """Single-process degenerate behavior of the pickled-object collectives
+    (reference distributed.py:70-128) and the pad-to-max variable gather
+    (ddp_allgather, distributed.py:133-149)."""
+    from mico_tpu.parallel.collectives import (
+        broadcast_object,
+        gather_objects,
+        gather_variable_batch,
+    )
+
+    assert gather_objects({"task": "ret%tva"}) == [{"task": "ret%tva"}]
+    assert broadcast_object([1, 2, 3]) == [1, 2, 3]
+    x = jnp.arange(6, dtype=jnp.float32).reshape(3, 2)
+    g, v = gather_variable_batch(x, None, max_batch=5)
+    assert g.shape == (5, 2) and v.shape == (5,)
+    np.testing.assert_array_equal(np.asarray(v), [1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(g[:3]), np.asarray(x))
+
+    # under an 8-device mesh axis via shard_map
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    xs = jnp.arange(16, dtype=jnp.float32).reshape(8, 2, 1)
+
+    @partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=(P(), P()),
+             check_rep=False)
+    def f(xb):
+        return gather_variable_batch(xb[0], "data", max_batch=3)
+
+    g, v = f(xs)
+    # 8 shards × pad-to-3, replicated gather result; 2 valid rows per shard
+    assert g.shape == (24, 1) and v.shape == (24,)
+    assert int(np.asarray(v).sum()) == 16
