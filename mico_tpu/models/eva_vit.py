@@ -249,12 +249,11 @@ def _block(
         if impl == "auto":
             impl = "flash" if jax.default_backend() == "tpu" else "xla"
         if rope_cos is None and rel_bias is None and impl == "flash":
-            # hot path: keep the projection row layout end-to-end — no
-            # (B, H, L, D) transposes in HBM (see packed_self_attention)
-            from mico_tpu.ops.flash_attention import packed_self_attention
+            # hot path: the fused qkv tensor goes straight into the kernel —
+            # no split copy and no (B, H, L, D) transposes in HBM
+            from mico_tpu.ops.flash_attention import packed_qkv_self_attention
 
-            q, k, v = jnp.split(qkv, 3, axis=-1)                  # (B, L, W)
-            o = packed_self_attention(q, k, v, nh, hd**-0.5)
+            o = packed_qkv_self_attention(qkv, nh, hd**-0.5)
         else:
             qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, L, D)

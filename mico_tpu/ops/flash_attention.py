@@ -181,13 +181,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, nh, d, scale, group):
+def _packed_body(q_ref, k_ref, v_ref, o_ref, nh, d, scale, group,
+                 q_off=0, k_off=0, v_off=0):
+    """Shared packed-attention body; offsets select q/k/v column ranges
+    inside possibly-fused input refs."""
     prec = _prec_for(k_ref.dtype)
 
     def qk(h):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q_ref[0][:, sl].astype(jnp.float32) * scale
-        kh = k_ref[0][:, sl]
+        qh = q_ref[0][:, q_off + h * d : q_off + (h + 1) * d]
+        kh = k_ref[0][:, k_off + h * d : k_off + (h + 1) * d]
+        qh = qh.astype(jnp.float32) * scale
         return jax.lax.dot_general(
             qh.astype(kh.dtype), kh,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -207,12 +210,21 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, nh, d, scale, group):
             # bf16 runs, and the conversion is needed for the matmul anyway
             probs.append((p.astype(v_ref.dtype), l))
         for h, (p, l) in zip(heads, probs):
-            sl = slice(h * d, (h + 1) * d)
-            vh = v_ref[0][:, sl]
+            vh = v_ref[0][:, v_off + h * d : v_off + (h + 1) * d]
             o = jnp.dot(
                 p, vh, preferred_element_type=jnp.float32, precision=prec
             )
-            o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+            o_ref[0, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, nh, d, scale, group):
+    _packed_body(q_ref, k_ref, v_ref, o_ref, nh, d, scale, group)
+
+
+def _packed_qkv_kernel(qkv_ref, o_ref, *, nh, d, scale, group):
+    w = nh * d
+    _packed_body(qkv_ref, qkv_ref, qkv_ref, o_ref, nh, d, scale, group,
+                 q_off=0, k_off=w, v_off=2 * w)
 
 
 @functools.partial(
@@ -296,3 +308,72 @@ def _packed_vjp_bwd(num_heads, scale, res, g):
 
 
 packed_self_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+# -- fused-qkv entry: one (B, L, 3·H·D) tensor straight from the projection --
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret")
+)
+def _packed_qkv_fwd(qkv, num_heads, scale, interpret):
+    b, l, w3 = qkv.shape
+    w = w3 // 3
+    d = w // num_heads
+    lpad = _round_up(l, 8) * _round_up(l, 128)
+    stage_bytes = lpad * 4 + lpad * qkv.dtype.itemsize
+    io_bytes = 2 * (l * w3 + l * w) * qkv.dtype.itemsize  # double-buffered
+    budget = max(_PACKED_VMEM_BUDGET - io_bytes, stage_bytes)
+    group = max(1, min(num_heads, budget // max(stage_bytes, 1)))
+    kernel = functools.partial(
+        _packed_qkv_kernel, nh=num_heads, d=d, scale=scale, group=group
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, l, w3), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, l, w), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, w), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * l * l * d,
+            bytes_accessed=qkv.size * 2,
+            transcendentals=b * num_heads * l * l,
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+def _packed_qkv_reference(qkv, num_heads, scale):
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return _packed_reference(q, k, v, num_heads, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_qkv_self_attention(qkv, num_heads: int, scale: float):
+    """Self-attention on the FUSED projection output.
+
+    qkv: (B, L, 3·H·D) exactly as the fused qkv matmul emits it — the kernel
+    lane-slices q/k/v per head in VMEM, so no split/copy ever touches HBM.
+    Returns (B, L, H·D). Differentiable via XLA recompute."""
+    if jax.default_backend() != "tpu" or qkv.dtype != jnp.bfloat16:
+        return _packed_qkv_reference(qkv, num_heads, scale)
+    return _packed_qkv_fwd(qkv, num_heads, float(scale), False)
+
+
+def _packed_qkv_vjp_fwd(qkv, num_heads, scale):
+    return packed_qkv_self_attention(qkv, num_heads, scale), (qkv,)
+
+
+def _packed_qkv_vjp_bwd(num_heads, scale, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(
+        lambda t: _packed_qkv_reference(t, num_heads, scale), qkv
+    )
+    return vjp(g)
+
+
+packed_qkv_self_attention.defvjp(_packed_qkv_vjp_fwd, _packed_qkv_vjp_bwd)

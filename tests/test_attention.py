@@ -101,3 +101,30 @@ def test_packed_self_attention_grads(rng):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5
         )
+
+
+def test_packed_qkv_kernel(rng):
+    from mico_tpu.ops.flash_attention import (
+        _packed_qkv_fwd,
+        _packed_qkv_reference,
+        packed_qkv_self_attention,
+    )
+
+    b, l, nh, d = 2, 257, 4, 88
+    qkv = jnp.asarray(
+        rng.standard_normal((b, l, 3 * nh * d)), jnp.float32
+    )
+    want = _packed_qkv_reference(qkv, nh, d**-0.5)
+    got = _packed_qkv_fwd(qkv, nh, d**-0.5, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(fn):
+        return lambda t: jnp.sum(fn(t, nh, d**-0.5) ** 2)
+
+    g1 = jax.grad(loss(packed_qkv_self_attention))(qkv)
+    g2 = jax.grad(loss(_packed_qkv_reference))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5
+    )
