@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pretrain_dir", default="MiCo-g")
     ap.add_argument("--image", default="/root/reference/example/test.jpeg")
@@ -25,9 +25,14 @@ def main():
     ap.add_argument("--audio", default="/root/reference/example/test.flac")
     ap.add_argument("--vocab", default="/root/reference/model/tokenizer/vocab.txt")
     ap.add_argument("--resolution", type=int, default=224)
+    # demo fbank geometry: 224x224 "spectrogram images"
+    # (reference model/audioprocessor.py:81-85)
+    ap.add_argument("--melbins", type=int, default=224)
+    ap.add_argument("--target_length", type=int, default=224)
+    ap.add_argument("--resize_melbin_num", type=int, default=224)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax.numpy as jnp
 
@@ -68,8 +73,14 @@ def main():
     import jax
 
     cond = model.get_multimodal_forward_input_vision(vision_output)
+    # one image scored against every caption (the reference relies on torch
+    # batch-dim broadcasting here, inference_demo.py:153-156)
+    cond_itm = jnp.broadcast_to(
+        cond, (toks["input_ids"].shape[0],) + cond.shape[1:]
+    )
     slice_out = model.forward_multimodal_encoder(
-        jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]), cond
+        jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]),
+        cond_itm,
     )
     itm = np.asarray(jax.nn.softmax(model.itm_head(slice_out[:, 0]), axis=1)[:, 1])
     print("itm scores:", itm)
@@ -99,7 +110,8 @@ def main():
     # ---- audio branch ----
     if os.path.exists(args.audio):
         apz = AudioProcessor(
-            melbins=224, target_length=224,
+            melbins=args.melbins, target_length=args.target_length,
+            resize_melbin_num=args.resize_melbin_num,
             sample_num=cfg.max_audio_sample_num, training=False,
         )
         audio = apz(args.audio)[None]

@@ -201,3 +201,53 @@ def test_pretrain_dir_inherit_keys(tmp_path):
     assert cfg.model_cfg.contra_dim == 256
     # unlisted keys do NOT inherit
     assert cfg.model_cfg.get("itm_ratio") != 0.5
+
+
+def test_inference_demo_end_to_end(tmp_path, capsys):
+    """The top-level demo entry runs against a native tiny checkpoint dir:
+    image/text/video/audio branches, ITM, beam captioning (reference
+    inference_demo.py flow)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import json
+
+    import jax
+
+    from mico_tpu.models.mico import init_mico
+    from mico_tpu.train.checkpoints import ModelSaver
+    from mico_tpu.config import mico_config_from_dict
+
+    model_cfg = {
+        "eva_override": {
+            "image_size": 28, "patch_size": 14, "layers": 2, "width": 32,
+            "head_width": 16, "mlp_ratio": 4.0, "embed_dim": 16,
+        },
+        "bert_override": {
+            "hidden_size": 32, "num_hidden_layers": 2,
+            "num_attention_heads": 2, "intermediate_size": 64,
+            "max_position_embeddings": 64, "encoder_width": 32,
+        },
+        "contra_dim": 16, "max_vision_sample_num": 2,
+        "max_audio_sample_num": 2, "max_caption_len": 6, "beam_size": 2,
+        "compute_dtype": "float32", "use_flash_attention": False,
+    }
+    cfg = mico_config_from_dict(model_cfg)
+    params = init_mico(jax.random.PRNGKey(0), cfg)
+    pre = tmp_path / "MiCo-tiny"
+    (pre / "log").mkdir(parents=True)
+    (pre / "log" / "hps.json").write_text(
+        json.dumps({"model_cfg": model_cfg})
+    )
+    ModelSaver(str(pre)).save(1, params)
+
+    import inference_demo
+
+    inference_demo.main([
+        "--pretrain_dir", str(pre),
+        "--resolution", "28", "--melbins", "28", "--target_length", "28",
+        "--resize_melbin_num", "28",
+    ])
+    out = capsys.readouterr().out
+    assert "sim_t2v:" in out and "itm scores:" in out
+    assert "caption:" in out and "video sim:" in out and "audio sim:" in out
