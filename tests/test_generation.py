@@ -205,3 +205,37 @@ def test_scst_sampling(setup):
         float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_cached_generate_matches_recompute(setup):
+    """KV-cached incremental decode == the recompute [MASK]-append decode,
+    token for token (greedy, fp32)."""
+    from mico_tpu.generation import cached_generate
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    want = np.asarray(
+        generate(params, CFG, cond_j, max_new_tokens=12, mode="greedy",
+                 use_cache=False)
+    )
+    got = np.asarray(
+        cached_generate(params, CFG, cond_j, max_new_tokens=12, mode="greedy")
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cached_sampling_matches_recompute(setup):
+    """Same rng stream → identical sampled tokens on both paths."""
+    from mico_tpu.generation import cached_generate
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    want = np.asarray(
+        generate(params, CFG, cond_j, max_new_tokens=10, mode="sample",
+                 top_k=5, rng=jax.random.PRNGKey(7), use_cache=False)
+    )
+    got = np.asarray(
+        cached_generate(params, CFG, cond_j, max_new_tokens=10, mode="sample",
+                        top_k=5, rng=jax.random.PRNGKey(7))
+    )
+    np.testing.assert_array_equal(got, want)
