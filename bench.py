@@ -118,4 +118,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled remote-compile helper intermittently 500s; a fresh
+    # attempt typically lands on a healthy instance.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# bench attempt {attempt + 1} failed ({e}); retrying",
+                  flush=True)
+            time.sleep(10)

@@ -116,10 +116,16 @@ def generate(
     """→ (B, max_new_tokens + 1) token ids starting with [CLS]; generated
     tokens padded with [PAD] after [SEP].
 
-    greedy/sample run on the KV-cached incremental path by default (~3x
-    per-batch decode throughput, output-identical); use_cache=False keeps
-    the literal recompute loop."""
+    All modes run on the KV-cached incremental path by default
+    (output-identical, ~3x per-batch decode throughput); use_cache=False
+    keeps the literal recompute loop."""
     if mode == "beam":
+        if use_cache:
+            return cached_beam_generate(
+                params, cfg, condition_feat, max_new_tokens=max_new_tokens,
+                num_beams=num_beams, length_penalty=length_penalty,
+                compute_dtype=compute_dtype,
+            )
         return _beam_generate(
             params, cfg, condition_feat, max_new_tokens, num_beams,
             length_penalty, compute_dtype,
@@ -228,10 +234,28 @@ def _sequential_generate(
 # recompute path; one compiled program per geometry.
 
 
-def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias):
+def _cross_mha(q, k, v, cfg):
+    """Plain MHA (no bias) on (B, Lq, H) x (B, Lk, H)."""
+    b, lq, h = q.shape
+    lk = k.shape[1]
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    qh = q.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+    return o.transpose(0, 2, 1, 3).reshape(b, lq, h)
+
+
+def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias, n_rep=1):
     """One decoder layer over the (B, 2, H) [committed, probe] pair.
-    ck/cv: (B, Lmax, H) self K/V caches; xk/xv: (B, Lk, H) cross K/V.
-    Returns (x, updated ck, updated cv)."""
+    ck/cv: (B, Lmax, H) self K/V caches; xk/xv: (B/n_rep, Lk, H) cross K/V —
+    with n_rep > 1 (beam search) the cross K/V stay per batch element and
+    the beams fold into the query rows, so the big condition projections are
+    never replicated per beam. Returns (x, updated ck, updated cv)."""
     b, _, h = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
 
@@ -264,7 +288,12 @@ def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias):
     )
     # cross-attention over the precomputed condition K/V
     xq = linear(x, lp["xq_w"], lp["xq_b"])
-    o = mha(xq, xk, xv, None)
+    if n_rep > 1:
+        lq = xq.shape[1]
+        xq = xq.reshape(b // n_rep, n_rep * lq, h)
+        o = _cross_mha(xq, xk, xv, cfg).reshape(b, lq, h)
+    else:
+        o = mha(xq, xk, xv, None)
     x = layer_norm(
         x + linear(o, lp["x_out_w"], lp["x_out_b"]),
         lp["x_ln_w"], lp["x_ln_b"], cfg.layer_norm_eps,
@@ -378,6 +407,124 @@ def cached_generate(
     if return_logp:
         return tokens, logp.T
     return tokens
+
+
+def cached_beam_generate(
+    params: dict,
+    cfg: BertConfig,
+    condition_feat: jnp.ndarray,
+    *,
+    max_new_tokens: int = 40,
+    num_beams: int = 3,
+    length_penalty: float = 0.6,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """KV-cached beam search, output-identical to the recompute
+    `_beam_generate`: beams live as (B·k) cache rows; after each beam
+    selection the caches are re-gathered by parent-beam index."""
+    b = condition_feat.shape[0]
+    k = num_beams
+    h = cfg.hidden_size
+    v = cfg.vocab_size
+    lmax = max_new_tokens + 1
+    n_layers = cfg.num_hidden_layers
+    bk = b * k
+
+    # cross K/V stay per batch element; beams fold into query rows
+    xk, xv = _cross_kv(params, condition_feat.astype(compute_dtype))
+    xk = xk.astype(compute_dtype)
+    xv = xv.astype(compute_dtype)
+
+    tokens0 = jnp.full((b, k, lmax), BERT_PAD_ID, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(BERT_CLS_ID)
+    live_scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
+    fin_tokens0 = tokens0
+    fin_scores0 = jnp.full((b, k), NEG_INF)
+    ck0 = jnp.zeros((n_layers, bk, lmax, h), compute_dtype)
+    cv0 = jnp.zeros((n_layers, bk, lmax, h), compute_dtype)
+    emb = params["embeddings"]
+
+    def step(carry, t):
+        tokens, committed, live_scores, fin_tokens, fin_scores, ck, cv = carry
+        flat_committed = committed.reshape(bk)
+        ids = jnp.stack(
+            [flat_committed, jnp.full_like(flat_committed, BERT_MASK_ID)], 1
+        )
+        pos = jnp.stack([jnp.full((bk,), t), jnp.full((bk,), t + 1)], 1)
+        x = bert_embeddings(
+            emb, cfg, ids, position_ids=pos, compute_dtype=compute_dtype
+        )
+        cols = jnp.arange(lmax + 1)
+        row_c = jnp.where(cols <= t, 0.0, NEG_INF)
+        row_p = jnp.where((cols <= t) | (cols == lmax), 0.0, NEG_INF)
+        bias = jnp.stack([row_c, row_p])[None, None]
+
+        def layer(x, xs):
+            lp, ckl, cvl, xkl, xvl = xs
+            x, ckl, cvl = _cached_layer_step(
+                x, lp, ckl, cvl, xkl, xvl, t, cfg, bias, n_rep=k
+            )
+            return x, (ckl, cvl)
+
+        x, (ck, cv) = jax.lax.scan(
+            layer, x, (params["layers"], ck, cv, xk, xv)
+        )
+        logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
+        cand = live_scores[:, :, None] + logp
+
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)
+        beam_idx = top_idx // v
+        tok_idx = (top_idx % v).astype(jnp.int32)
+        is_eos = tok_idx == BERT_SEP_ID
+
+        gathered = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        new_tokens = gathered.at[:, :, t + 1].set(tok_idx)
+
+        pen = jnp.power(jnp.float32(t + 1), length_penalty)
+        eos_scores = jnp.where(is_eos, top_scores / pen, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, gathered], axis=1)
+        fin_scores, fin_keep = jax.lax.top_k(all_fin_scores, k)
+        fin_tokens = jnp.take_along_axis(
+            all_fin_tokens, fin_keep[:, :, None], axis=1
+        )
+
+        live_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        live_scores, live_keep = jax.lax.top_k(live_cand_scores, k)
+        tokens = jnp.take_along_axis(
+            new_tokens, live_keep[:, :, None], axis=1
+        )
+        committed = jnp.take_along_axis(tok_idx, live_keep, axis=1)
+
+        # re-gather the caches to the surviving beams' parents
+        parent = jnp.take_along_axis(beam_idx, live_keep, axis=1)  # (b, k)
+        flat_parent = (
+            jnp.arange(b)[:, None] * k + parent
+        ).reshape(bk)                                             # (bk,)
+        ck = jnp.take(ck, flat_parent, axis=1)
+        cv = jnp.take(cv, flat_parent, axis=1)
+        return (
+            tokens, committed, live_scores, fin_tokens, fin_scores, ck, cv
+        ), None
+
+    init = (
+        tokens0,
+        jnp.full((b, k), BERT_CLS_ID, jnp.int32),
+        live_scores0, fin_tokens0, fin_scores0, ck0, cv0,
+    )
+    (tokens, _, live_scores, fin_tokens, fin_scores, _, _), _ = jax.lax.scan(
+        step, init, jnp.arange(max_new_tokens)
+    )
+
+    pen = jnp.power(jnp.float32(max_new_tokens + 1), length_penalty)
+    final_live = live_scores / pen
+    all_scores = jnp.concatenate([fin_scores, final_live], axis=1)
+    all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    out = jnp.take_along_axis(all_tokens, best[:, None, None], axis=1)[:, 0]
+    return out
 
 
 def generate_scst(

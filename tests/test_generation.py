@@ -239,3 +239,19 @@ def test_cached_sampling_matches_recompute(setup):
                         top_k=5, rng=jax.random.PRNGKey(7))
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_cached_beam_matches_recompute(setup):
+    from mico_tpu.generation import cached_beam_generate
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    want = np.asarray(
+        generate(params, CFG, cond_j, max_new_tokens=10, mode="beam",
+                 num_beams=3, use_cache=False)
+    )
+    got = np.asarray(
+        cached_beam_generate(params, CFG, cond_j, max_new_tokens=10,
+                             num_beams=3)
+    )
+    np.testing.assert_array_equal(got, want)
