@@ -145,7 +145,7 @@ def generate(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "mode", "num_beams", "top_k",
-        "length_penalty", "compute_dtype",
+        "length_penalty", "compute_dtype", "use_cache",
     ),
 )
 def generate_answers(
@@ -162,15 +162,24 @@ def generate_answers(
     length_penalty: float = 0.6,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    use_cache: bool = True,
 ) -> jnp.ndarray:
     """QA decoding: question prefix encoded bidirectionally, answer decoded
     causally after a [CLS] (the reference part-causal mask + generate flow,
-    data/model/vast.py:617-650). → (B, max_new_tokens + 1) starting [CLS]."""
+    data/model/vast.py:617-650). → (B, max_new_tokens + 1) starting [CLS].
+
+    greedy/sample run KV-cached (prefix prefilled once) when use_cache."""
     if mode == "beam":
         return _beam_generate(
             params, cfg, condition_feat, max_new_tokens, num_beams,
             length_penalty, compute_dtype,
             prefix_ids=question_ids, prefix_mask=question_mask,
+        )
+    if use_cache:
+        return cached_generate_answers(
+            params, cfg, question_ids, question_mask, condition_feat,
+            max_new_tokens=max_new_tokens, mode=mode, top_k=top_k, rng=rng,
+            compute_dtype=compute_dtype,
         )
     return _sequential_generate(
         params, cfg, condition_feat, max_new_tokens, mode, top_k, rng,
@@ -406,6 +415,153 @@ def cached_generate(
     )
     if return_logp:
         return tokens, logp.T
+    return tokens
+
+
+def _prefill_prefix(params, cfg, prefix_ids, prefix_mask, cond,
+                    total_len, compute_dtype):
+    """Encode the question prefix once (bidirectional over valid prefix
+    positions, WITH cross-attention — identical to the prefix rows of the
+    recompute part-causal decode) and capture each layer's self K/V into
+    (layers, B, total_len, H) caches."""
+    b, lq = prefix_ids.shape
+    h = cfg.hidden_size
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    self_bias = extended_attention_mask(prefix_mask)
+    x = bert_embeddings(
+        params["embeddings"], cfg, prefix_ids, compute_dtype=compute_dtype
+    )
+    xk, xv = _cross_kv(params, cond)
+    xk = xk.astype(compute_dtype)
+    xv = xv.astype(compute_dtype)
+
+    def body(x, xs):
+        lp, xkl, xvl = xs
+        k = linear(x, lp["k_w"], lp["k_b"])
+        v = linear(x, lp["v_w"], lp["v_b"])
+        q = linear(x, lp["q_w"], lp["q_b"])
+        qh = q.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * (hd**-0.5) + self_bias
+        p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+        o = o.transpose(0, 2, 1, 3).reshape(b, lq, h)
+        x = layer_norm(
+            x + linear(o, lp["attn_out_w"], lp["attn_out_b"]),
+            lp["attn_ln_w"], lp["attn_ln_b"], cfg.layer_norm_eps,
+        )
+        xq = linear(x, lp["xq_w"], lp["xq_b"])
+        o = _cross_mha(xq, xkl, xvl, cfg)
+        x = layer_norm(
+            x + linear(o, lp["x_out_w"], lp["x_out_b"]),
+            lp["x_ln_w"], lp["x_ln_b"], cfg.layer_norm_eps,
+        )
+        y = gelu(linear(x, lp["inter_w"], lp["inter_b"]))
+        x = layer_norm(
+            x + linear(y, lp["out_w"], lp["out_b"]),
+            lp["out_ln_w"], lp["out_ln_b"], cfg.layer_norm_eps,
+        )
+        pad = jnp.zeros((b, total_len - lq, h), k.dtype)
+        return x, (
+            jnp.concatenate([k, pad], axis=1),
+            jnp.concatenate([v, pad], axis=1),
+        )
+
+    _, (ck, cv) = jax.lax.scan(body, x, (params["layers"], xk, xv))
+    return ck, cv, xk, xv
+
+
+def cached_generate_answers(
+    params: dict,
+    cfg: BertConfig,
+    question_ids: jnp.ndarray,
+    question_mask: jnp.ndarray,
+    condition_feat: jnp.ndarray,
+    *,
+    max_new_tokens: int = 10,
+    mode: str = "greedy",
+    top_k: int = 10,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """KV-cached part-causal QA decode, output-identical to
+    `generate_answers(mode=greedy|sample)`: the question prefix is encoded
+    ONCE into the caches (the recompute loop re-encodes it every step)."""
+    b, lq = question_ids.shape
+    h = cfg.hidden_size
+    lmax = max_new_tokens + 1
+    total = lq + lmax
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    cond = condition_feat.astype(compute_dtype)
+    ck, cv, xk, xv = _prefill_prefix(
+        params, cfg, question_ids, question_mask, cond, total, compute_dtype
+    )
+
+    tokens0 = jnp.full((b, lmax), BERT_PAD_ID, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(BERT_CLS_ID)
+    emb = params["embeddings"]
+    # per-batch valid prefix columns for the additive bias
+    prefix_cols = jnp.pad(
+        question_mask.astype(jnp.float32), ((0, 0), (0, total + 1 - lq))
+    )
+
+    def step(carry, t):
+        tokens, committed, ck, cv, finished, key = carry
+        ids = jnp.stack([committed, jnp.full_like(committed, BERT_MASK_ID)], 1)
+        pos = jnp.stack(
+            [jnp.full((b,), lq + t), jnp.full((b,), lq + t + 1)], 1
+        )
+        x = bert_embeddings(
+            emb, cfg, ids, position_ids=pos, compute_dtype=compute_dtype
+        )
+        cols = jnp.arange(total + 1)
+        gen_c = (cols >= lq) & (cols <= lq + t)
+        allow_c = jnp.maximum(prefix_cols, gen_c[None].astype(jnp.float32))
+        allow_p = jnp.maximum(
+            allow_c, (cols == total)[None].astype(jnp.float32)
+        )
+        bias = (1.0 - jnp.stack([allow_c, allow_p], axis=1)) * NEG_INF
+        bias = bias[:, None]                       # (b, 1, 2, total+1)
+
+        def layer(x, xs):
+            lp, ckl, cvl, xkl, xvl = xs
+            x, ckl, cvl = _cached_layer_step(
+                x, lp, ckl, cvl, xkl, xvl, lq + t, cfg, bias
+            )
+            return x, (ckl, cvl)
+
+        x, (ck, cv) = jax.lax.scan(
+            layer, x, (params["layers"], ck, cv, xk, xv)
+        )
+        logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
+        if mode == "greedy":
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            vals, idx = jax.lax.top_k(logits, top_k)
+            choice = jax.random.categorical(sub, vals)
+            nxt = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+            nxt = nxt.astype(jnp.int32)
+        nxt = jnp.where(finished, BERT_PAD_ID, nxt)
+        tokens = tokens.at[:, t + 1].set(nxt)
+        finished = finished | (nxt == BERT_SEP_ID)
+        return (tokens, nxt, ck, cv, finished, key), None
+
+    init = (
+        tokens0,
+        jnp.full((b,), BERT_CLS_ID, jnp.int32),
+        ck, cv,
+        jnp.zeros((b,), bool),
+        rng,
+    )
+    (tokens, _, _, _, _, _), _ = jax.lax.scan(
+        step, init, jnp.arange(max_new_tokens)
+    )
     return tokens
 
 

@@ -255,3 +255,31 @@ def test_cached_beam_matches_recompute(setup):
                              num_beams=3)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_cached_qa_matches_recompute(setup):
+    """Prefix-prefilled cached QA decode == the recompute part-causal decode
+    token for token, including padded question positions."""
+    from mico_tpu.generation import generate_answers
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    rng = np.random.default_rng(4)
+    q_ids = np.zeros((2, 9), np.int64)
+    q_mask = np.zeros((2, 9), np.int64)
+    for i, n in enumerate((9, 5)):    # one full, one padded question
+        q_ids[i, 0] = CLS
+        q_ids[i, 1 : n - 1] = rng.integers(4, 100, (n - 2,))
+        q_ids[i, n - 1] = SEP
+        q_mask[i, :n] = 1
+    q_ids = jnp.asarray(q_ids)
+    q_mask = jnp.asarray(q_mask)
+    want = np.asarray(
+        generate_answers(params, CFG, q_ids, q_mask, cond_j,
+                         max_new_tokens=8, mode="greedy", use_cache=False)
+    )
+    got = np.asarray(
+        generate_answers(params, CFG, q_ids, q_mask, cond_j,
+                         max_new_tokens=8, mode="greedy", use_cache=True)
+    )
+    np.testing.assert_array_equal(got, want)
