@@ -62,12 +62,15 @@ def compute_features(
     out: Dict[str, jnp.ndarray] = {}
     pooled = {}
 
-    if "v" in modalities:
+    if "v" in modalities or "i" in modalities:
         vis = mico_mod.forward_vision_encoder(params, cfg, batch["vision_pixels"])
-        pooled["v"] = mico_mod.pool_vision_for_contra(cfg, vis)
-        out["condition_feats_v"] = mico_mod.get_multimodal_forward_input_vision(
-            params, cfg, vis
-        )
+        feat = mico_mod.pool_vision_for_contra(cfg, vis)
+        cond = mico_mod.get_multimodal_forward_input_vision(params, cfg, vis)
+        # 'i' is MiCo's image alias for the fused image+depth ('id') head
+        for m in ("v", "i"):
+            if m in modalities:
+                pooled[m] = feat
+                out[f"condition_feats_{m}"] = cond
     if "a" in modalities:
         aud = mico_mod.forward_audio_encoder(
             params, cfg, batch["audio_spectrograms"]
@@ -75,6 +78,15 @@ def compute_features(
         pooled["a"] = mico_mod.pool_audio_for_contra(cfg, aud)
         out["condition_feats_a"] = mico_mod.get_multimodal_forward_input_audio(
             params, cfg, aud
+        )
+    if "d" in modalities:
+        # depth maps as 3-channel pixels through the shared encoder
+        # (model/mico.py:145-148; MiCo's I+V+A+D omni-modal recipe — VAST
+        # itself has no depth branch, the 'id' fused head is MiCo's)
+        dep = mico_mod.forward_depth_encoder(params, cfg, batch["depth_pixels"])
+        pooled["d"] = mico_mod.pool_depth_for_contra(cfg, dep)
+        out["condition_feats_d"] = mico_mod.get_multimodal_forward_input_depth(
+            params, cfg, dep
         )
     if "s" in modalities:
         sub = mico_mod.forward_multimodal_encoder(

@@ -237,3 +237,18 @@ def test_host_object_collectives():
     # 8 shards × pad-to-3, replicated gather result; 2 valid rows per shard
     assert g.shape == (24, 1) and v.shape == (24,)
     assert int(np.asarray(v).sum()) == 16
+
+
+def test_depth_modality_tasks(rng, params):
+    """Depth routes through the shared encoder; fused 'id' (image+depth)
+    and 'd' heads train (MiCo's omni recipe, model/mico.py:145-148,391)."""
+    batch = make_batch(rng, 4)
+    batch["depth_pixels"] = jnp.asarray(
+        rng.standard_normal((4, 2, 3, 28, 28)), jnp.float32
+    )
+    losses = task_losses(
+        jax.random.PRNGKey(0), params, CFG, batch, "ret%td%tid_cap%td",
+        axis_name=None,
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
