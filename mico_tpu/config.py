@@ -232,6 +232,11 @@ class MiCoConfig:
     max_omni_caption_len: int = 70
     max_subtitle_len: int = 70
     checkpointing: bool = False     # rematerialize encoder blocks
+    # retrieval eval: ITM-rerank the top-N ITC candidates per query, both
+    # directions when ret_bidirection_evaluation
+    # (reference default_model_cfg.json itm_rerank_num/ret_bidirection)
+    itm_rerank_num: int = 50
+    ret_bidirection_evaluation: bool = False
     # VAST-style separate audio tower: 'shared' | 'beats' | 'ast'
     # (reference model_cfg.audio_encoder_type, general_module.py:245-314)
     audio_encoder_type: str = "shared"

@@ -86,10 +86,14 @@ class Evaluator:
             self._feat_fns[modalities] = fn
         return self._feat_fns[modalities]
 
-    def eval_retrieval(self, loader, task: str) -> Dict[str, float]:
+    def eval_retrieval(
+        self, loader, task: str, itm_rerank: bool = False
+    ) -> Dict[str, float]:
         _, subs = _subtasks(task)
         feats = {m: [] for m in (s[1:] for s in subs)}
+        conds = {m: [] for m in feats} if itm_rerank else None
         feats_t, txt2vis = [], []
+        text_ids, text_masks = [], []
         n_vis = 0
         for batch in loader:
             tb = self.batch_tok(batch, task)
@@ -103,7 +107,14 @@ class Evaluator:
                 m = sub[1:]
                 out = self._feat_fn(m)(self.params, arrays)
                 feats[m].append(np.asarray(out[f"feat_{m}"]))
+                if itm_rerank:
+                    conds[m].append(
+                        np.asarray(self._cond_fn(m)(self.params, arrays))
+                    )
             feats_t.append(np.asarray(out["feat_t"]))
+            if itm_rerank:
+                text_ids.append(np.asarray(arrays["caption_ids"]))
+                text_masks.append(np.asarray(arrays["caption_mask"]))
             # ids_txt maps caption rows to visual items (multi-caption sets
             # arrive one-caption-per-row here, so this is the identity map
             # offset by the running visual count)
@@ -116,10 +127,71 @@ class Evaluator:
             sim = t @ v.T
             for k, val in retrieval_recall(sim, txt2vis).items():
                 results[f"{k}_{m}"] = val
+            if itm_rerank:
+                sim_r = self._itm_rerank(
+                    sim,
+                    np.concatenate(conds[m]),
+                    np.concatenate(text_ids),
+                    np.concatenate(text_masks),
+                )
+                for k, val in retrieval_recall(sim_r, txt2vis).items():
+                    results[f"{k}_itm_{m}"] = val
         results["video_r1"] = float(
             np.mean([v for k, v in results.items() if k.startswith("video_r1")])
         )
         return results
+
+    def _itm_rerank(self, sim, cond, text_ids, text_masks) -> np.ndarray:
+        """Re-score each text's top `cfg.itm_rerank_num` ITC candidates with
+        the ITM head (reference model_cfg.itm_rerank_num; BLIP/VAST-style
+        coarse-to-fine retrieval). With cfg.ret_bidirection_evaluation the
+        vis→text direction is reranked too; scores outside the top-N keep
+        a rank-preserving -inf-ish floor."""
+        from mico_tpu.train.objectives import compute_slice_scores
+
+        n = min(self.cfg.itm_rerank_num, sim.shape[1])
+
+        @jax.jit
+        def score(params, cond_n, ids, mask):
+            ids_n = jnp.broadcast_to(ids[None], (n,) + ids.shape)
+            mask_n = jnp.broadcast_to(mask[None], (n,) + mask.shape)
+            return compute_slice_scores(params, self.cfg, cond_n, ids_n, mask_n)
+
+        out = np.full_like(sim, -1.0)
+        top = np.argsort(-sim, axis=1)[:, :n]
+        for i in range(sim.shape[0]):
+            s = np.asarray(
+                score(
+                    self.params,
+                    jnp.asarray(cond[top[i]]),
+                    jnp.asarray(text_ids[i]),
+                    jnp.asarray(text_masks[i]),
+                )
+            )
+            out[i, top[i]] = s
+        if self.cfg.ret_bidirection_evaluation:
+            nt = min(self.cfg.itm_rerank_num, sim.shape[0])
+
+            @jax.jit
+            def score_v(params, cond_1, ids, mask):
+                cond_n = jnp.broadcast_to(cond_1[None], (nt,) + cond_1.shape)
+                return compute_slice_scores(params, self.cfg, cond_n, ids, mask)
+
+            top_t = np.argsort(-sim, axis=0)[:nt]        # (nt, n_vis)
+            for j in range(sim.shape[1]):
+                rows = top_t[:, j]
+                s = np.asarray(
+                    score_v(
+                        self.params,
+                        jnp.asarray(cond[j]),
+                        jnp.asarray(text_ids[rows]),
+                        jnp.asarray(text_masks[rows]),
+                    )
+                )
+                # average with the t2v pass where both scored the pair
+                cur = out[rows, j]
+                out[rows, j] = np.where(cur > -1.0, (cur + s) / 2.0, s)
+        return out
 
     # ---- captioning ----
 
@@ -241,7 +313,10 @@ def evaluation_mm(
         head = task.split("%")[0].split("_")[0]
         captioner_mode = bool(run_cfg.get("captioner_mode", False))
         if head == "ret":
-            logs[name] = evaluator.eval_retrieval(loader, task)
+            logs[name] = evaluator.eval_retrieval(
+                loader, task,
+                itm_rerank=bool(run_cfg.get("itm_rerank", False)),
+            )
         elif head == "cap":
             out_dir = run_cfg.get("output_dir", ".")
             logs[name] = evaluator.eval_caption(

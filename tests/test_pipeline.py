@@ -251,3 +251,20 @@ def test_inference_demo_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "sim_t2v:" in out and "itm scores:" in out
     assert "caption:" in out and "video sim:" in out and "audio sim:" in out
+
+
+def test_cli_itm_rerank_eval(cli_corpus, tmp_path):
+    """ITM reranking of top-N ITC retrieval candidates
+    (reference model_cfg.itm_rerank_num / ret_bidirection_evaluation)."""
+    from mico_tpu.run import main
+
+    root, cfg_path = cli_corpus
+    logs = main(["--config", str(cfg_path), "--output_dir",
+                 str(tmp_path / "out_rr"), "--vocab", VOCAB,
+                 "run_cfg.mode=testing", "run_cfg.itm_rerank=true",
+                 "model_cfg.ret_bidirection_evaluation=true"])
+    (name, metrics), = logs.items()
+    itm_keys = [k for k in metrics if "_itm_" in k]
+    assert itm_keys, metrics
+    for k in itm_keys:
+        assert 0.0 <= metrics[k] <= 1.0
