@@ -459,9 +459,14 @@ class MiCoModel:
     def forward_vision_encoder(self, pixels):
         return self._vision_fn(self.params, pixels=pixels)
 
+    @functools.cached_property
+    def _audio_fn(self):
+        return jax.jit(functools.partial(forward_audio_encoder, cfg=self.config))
+
     def forward_audio_encoder(self, spectrograms):
-        x = jnp.repeat(spectrograms[:, :, None, :, :], 3, axis=2)
-        return self._vision_fn(self.params, pixels=x)
+        # routes to the shared ViT (3-channel tile) or the separate
+        # BEATs/AST tower per cfg.audio_encoder_type
+        return self._audio_fn(self.params, spectrograms=spectrograms)
 
     def forward_depth_encoder(self, depth_pixels):
         return self._vision_fn(self.params, pixels=depth_pixels)
