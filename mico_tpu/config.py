@@ -244,6 +244,9 @@ class MiCoConfig:
     audio_target_length: int = 1024
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
+    # sequence parallelism: shard the cross-attention condition-token axis
+    # over the 'model' mesh axis (requires a mesh context; train-step only)
+    shard_condition_sequence: bool = False
     param_dtype: str = "float32"
     use_flash_attention: bool = True
     # test/dryrun hooks: override tower architectures with small ones

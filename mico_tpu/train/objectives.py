@@ -102,6 +102,19 @@ def compute_features(
         parts = [out[f"condition_feats_{m}"] for m in modalities]
         out[f"condition_feats_{modalities}"] = jnp.concatenate(parts, axis=1)
 
+    if cfg.shard_condition_sequence:
+        # sequence parallelism over the cross-attention context: the
+        # condition token axis (n_frames·257 and growing with fused
+        # modalities — MiCo's only long axis, SURVEY §5.7) is sharded over
+        # the model mesh axis; GSPMD places the cross-attention collectives
+        from jax.sharding import PartitionSpec as P
+
+        for k in list(out):
+            if k.startswith("condition_feats_"):
+                out[k] = jax.lax.with_sharding_constraint(
+                    out[k], P("data", "model", None)
+                )
+
     # pooled contra feature through the matching head (vast.py:122-279)
     if len(modalities) == 1:
         feat = mico_mod.contra_head(

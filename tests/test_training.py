@@ -252,3 +252,26 @@ def test_depth_modality_tasks(rng, params):
     )
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_sequence_parallel_equivalence(rng, params):
+    """Sharding the cross-attention condition-token axis over the model
+    mesh axis is semantics-free (SP headroom, SURVEY §5.7)."""
+    from dataclasses import replace
+
+    batch = make_batch(rng, 8)
+    want = task_losses(
+        jax.random.PRNGKey(5), params, CFG, batch, "ret%tva", axis_name=None
+    )
+    cfg_sp = replace(CFG, shard_condition_sequence=True)
+    mesh = create_mesh(data=4, model=2)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(
+            lambda p, b: task_losses(
+                jax.random.PRNGKey(5), p, cfg_sp, b, "ret%tva", axis_name=None
+            )
+        )(params, shard_batch(mesh, batch))
+    for k in want:
+        np.testing.assert_allclose(
+            float(want[k]), float(got[k]), rtol=2e-4, atol=2e-4
+        )
