@@ -18,6 +18,7 @@ Tasks per loader name "task--dataset" (data/model/vast.py:317-371):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Dict, Optional
@@ -79,12 +80,41 @@ class Evaluator:
             @jax.jit
             def fn(params, batch):
                 out = compute_features(params, self.cfg, batch, modalities)
-                return {
-                    f"feat_{modalities}": out[f"feat_{modalities}"],
-                    "feat_t": compute_text_feature(params, self.cfg, batch),
-                }
+                return {f"feat_{modalities}": out[f"feat_{modalities}"]}
             self._feat_fns[modalities] = fn
         return self._feat_fns[modalities]
+
+    def _flatten_captions(self, tb, task):
+        """Multi-caption eval sets: every caption becomes a text row, with
+        the reference's ids_txt row→visual-item mapping (IndexAnno id_txt,
+        vast.py:441-443 raw-caption flattening). → (flat texts, local map)."""
+        flat, local = [], []
+        for j, c in enumerate(tb["raw_captions"]):
+            caps = c if isinstance(c, list) else [c]
+            flat.extend(caps)
+            local.extend([j] * len(caps))
+        return flat, local
+
+    def _encode_texts(self, texts, task):
+        omni = any("s" in s[1:] for s in _subtasks(task)[1])
+        length = (
+            self.cfg.max_omni_caption_len if omni else self.cfg.max_caption_len
+        )
+        # pad the row count to a multiple of 8 to bound jit re-compiles
+        n = len(texts)
+        n_pad = -(-n // 8) * 8
+        enc = self.tok(texts + [""] * (n_pad - n), max_length=length)
+        return enc["input_ids"], enc["attention_mask"], n
+
+    @functools.cached_property
+    def _text_fn(self):
+        @jax.jit
+        def fn(params, ids, mask):
+            return compute_text_feature(
+                params, self.cfg,
+                {"caption_ids": ids, "caption_mask": mask},
+            )
+        return fn
 
     def eval_retrieval(
         self, loader, task: str, itm_rerank: bool = False
@@ -111,14 +141,17 @@ class Evaluator:
                     conds[m].append(
                         np.asarray(self._cond_fn(m)(self.params, arrays))
                     )
-            feats_t.append(np.asarray(out["feat_t"]))
+            # text side: one row per caption (multi-caption sets flatten)
+            flat, local = self._flatten_captions(tb, task)
+            ids, mask, n_txt = self._encode_texts(flat, task)
+            t_out = np.asarray(
+                self._text_fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            )[:n_txt]
+            feats_t.append(t_out)
             if itm_rerank:
-                text_ids.append(np.asarray(arrays["caption_ids"]))
-                text_masks.append(np.asarray(arrays["caption_mask"]))
-            # ids_txt maps caption rows to visual items (multi-caption sets
-            # arrive one-caption-per-row here, so this is the identity map
-            # offset by the running visual count)
-            txt2vis.extend(range(n_vis, n_vis + b))
+                text_ids.append(ids[:n_txt])
+                text_masks.append(mask[:n_txt])
+            txt2vis.extend(n_vis + j for j in local)
             n_vis += b
         results: Dict[str, float] = {}
         t = np.concatenate(feats_t)

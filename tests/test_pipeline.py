@@ -268,3 +268,42 @@ def test_cli_itm_rerank_eval(cli_corpus, tmp_path):
     assert itm_keys, metrics
     for k in itm_keys:
         assert 0.0 <= metrics[k] <= 1.0
+
+
+def test_multi_caption_retrieval_eval():
+    """Multi-caption eval sets flatten every caption into a text row with
+    ids_txt row→item mapping (reference IndexAnno id_txt + vast.py:441-443)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mico_tpu.config import BertConfig, EvaVitConfig, MiCoConfig
+    from mico_tpu.evaluation import Evaluator
+    from mico_tpu.models.mico import init_mico
+    from mico_tpu.text import BertWordPieceTokenizer
+
+    cfg = MiCoConfig(
+        eva_override=EvaVitConfig(image_size=28, patch_size=14, layers=1,
+                                  width=32, head_width=16, embed_dim=16),
+        bert_override=BertConfig(hidden_size=32, num_hidden_layers=1,
+                                 num_attention_heads=2, intermediate_size=64,
+                                 encoder_width=32),
+        contra_dim=16, max_caption_len=8, compute_dtype="float32",
+        use_flash_attention=False,
+    )
+    params = init_mico(jax.random.PRNGKey(0), cfg)
+    tok = BertWordPieceTokenizer(VOCAB)
+    ev = Evaluator(cfg, params, tok)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "ids": ["a", "b", "c"],
+        "raw_captions": [["cap one", "caption uno"], "cap two",
+                         ["cap three", "third cap", "numero tres"]],
+        "vision_pixels": rng.standard_normal((3, 1, 3, 28, 28)).astype(
+            np.float32
+        ),
+    }
+    out = ev.eval_retrieval([batch], "ret%tv")
+    # 6 text rows over 3 visual items; recall well-defined
+    assert 0.0 <= out["t2v_r1_v"] <= 1.0
+    assert 0.0 <= out["video_r1"] <= 1.0
