@@ -237,6 +237,35 @@ def clip_forward(params, vision_cfg, text_cfg, pixels, token_ids,
     return img, txt, jnp.exp(params["logit_scale"])
 
 
+def build_zero_shot_classifier(
+    params,
+    text_cfg: ClipTextConfig,
+    classnames,
+    templates=("a photo of a {}.",),
+    tokenizer=None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """CLIP zero-shot classifier weights: per class, embed every prompt
+    template, average, normalize → (n_classes, embed_dim). Classify with
+    `image_features @ W.T * exp(logit_scale)` (the standard open_clip
+    zero-shot recipe the reference towers are used with)."""
+    if tokenizer is None:
+        from mico_tpu.text.bpe import ClipBpeTokenizer
+
+        tokenizer = ClipBpeTokenizer()
+    weights = []
+    for name in classnames:
+        prompts = [t.format(name) for t in templates]
+        ids = jnp.asarray(tokenizer(prompts, text_cfg.context_length))
+        f = clip_text_forward(
+            params["text"], text_cfg, ids, compute_dtype=compute_dtype
+        ).astype(jnp.float32)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        m = f.mean(axis=0)
+        weights.append(m / jnp.linalg.norm(m))
+    return jnp.stack(weights)
+
+
 # ---------------------------------------------------------------------------
 # Factory (model/evaclip/factory.py:211-360 create_model)
 # ---------------------------------------------------------------------------

@@ -146,3 +146,29 @@ def test_factory_registry():
     assert v336.image_size == 336 and v336.grid_size == 24
     with pytest.raises(KeyError):
         create_model("nope")
+
+
+def test_zero_shot_classifier():
+    from mico_tpu.models.clip_text import build_zero_shot_classifier
+
+    params = init_clip(jax.random.PRNGKey(0), TINY_EVA, TXT_CFG)
+
+    class FakeTok:
+        def __call__(self, texts, ctx):
+            rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**31)
+            ids = np.zeros((len(texts), ctx), np.int32)
+            for i in range(len(texts)):
+                ids[i, 0] = TXT_CFG.vocab_size - 2
+                ids[i, 1:5] = rng.integers(4, 100, 4)
+                ids[i, 5] = TXT_CFG.vocab_size - 1
+            return ids
+
+    w = build_zero_shot_classifier(
+        params, TXT_CFG, ["cat", "dog", "tpu"],
+        templates=("a photo of a {}.", "an image of a {}."),
+        tokenizer=FakeTok(),
+    )
+    assert w.shape == (3, TXT_CFG.output_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(w), axis=-1), 1.0, rtol=1e-5
+    )
