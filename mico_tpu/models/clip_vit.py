@@ -210,3 +210,67 @@ def clip_vit_from_torch(sd: Dict, cfg: ClipVitConfig) -> Dict:
         "ln_post_scale": g("ln_post.weight"), "ln_post_bias": g("ln_post.bias"),
         "proj": g("proj"),
     })
+
+
+def clip_vit_config_from_state_dict(sd: Dict, resolution: int = None) -> ClipVitConfig:
+    """Infer the ViT geometry from an OpenAI CLIP state dict the way the
+    reference does (model/clip/clip.py:499-520 build_model: width from
+    conv1, depth from in_proj count, patch from the conv kernel)."""
+    pfx = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    conv = sd[pfx + "conv1.weight"]
+    layers = len([
+        k for k in sd
+        if k.startswith(pfx + "transformer.") and k.endswith(".attn.in_proj_weight")
+    ])
+    width = int(conv.shape[0])
+    patch = int(conv.shape[-1])
+    grid = round((sd[pfx + "positional_embedding"].shape[0] - 1) ** 0.5)
+    return ClipVitConfig(
+        input_resolution=resolution or grid * patch,
+        patch_size=patch,
+        width=width,
+        layers=layers,
+        heads=width // 64,
+        output_dim=int(np.asarray(sd[pfx + "proj"]).shape[1]),
+    )
+
+
+def load_openai_clip(path: str, resolution: int = None,
+                     adaptor_layers: int = 0):
+    """Load an OpenAI CLIP weight archive — torch.jit archive or plain
+    state-dict .pt (the reference branches the same way,
+    model/mico.py:361-369) — infer the config, resize the visual pos-embed
+    to `resolution`, convert. → (params, ClipVitConfig)."""
+    import dataclasses
+
+    import torch
+
+    try:
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+    sd = {k: np.asarray(v.cpu() if hasattr(v, "cpu") else v)
+          for k, v in sd.items()}
+    cfg = clip_vit_config_from_state_dict(sd, resolution)
+    cfg = dataclasses.replace(cfg, adaptor_layers=adaptor_layers)
+
+    pfx = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    pos = sd[pfx + "positional_embedding"]
+    grid = cfg.input_resolution // cfg.patch_size
+    src_grid = round((pos.shape[0] - 1) ** 0.5)
+    if src_grid != grid:
+        # bilinear pos-embed resize, CLS preserved (reference
+        # model/clip/clip.py:507-520)
+        from mico_tpu.ops.interpolate import interp_bilinear_2d
+
+        body = pos[1:].reshape(src_grid, src_grid, -1).transpose(2, 0, 1)
+        body = np.asarray(
+            interp_bilinear_2d(
+                jnp.asarray(body)[None], (grid, grid), align_corners=False
+            )
+        )[0]
+        body = body.transpose(1, 2, 0).reshape(grid * grid, -1)
+        sd[pfx + "positional_embedding"] = np.concatenate([pos[:1], body])
+    return clip_vit_from_torch(sd, cfg), cfg
