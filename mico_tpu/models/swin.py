@@ -579,3 +579,30 @@ def videoswin_from_torch(sd: Dict, cfg: VideoSwinConfig) -> Dict:
         params["patch_embed"]["norm_scale"] = np.asarray(sd["patch_embed.norm.weight"])
         params["patch_embed"]["norm_bias"] = np.asarray(sd["patch_embed.norm.bias"])
     return jax.tree.map(jnp.asarray, params)
+
+
+def swin_config_from_yaml(path: str) -> SwinConfig:
+    """Load the reference's yacs-style yaml (model/swin_config.py:49-91 +
+    model/swin_base_patch4_window7_224_22k.yaml): MODEL.SWIN.* keys override
+    the defaults; DATA.IMG_SIZE sets img_size."""
+    import yaml
+
+    with open(path) as f:
+        y = yaml.safe_load(f) or {}
+    swin = (y.get("MODEL") or {}).get("SWIN") or {}
+    data = y.get("DATA") or {}
+    kw = {}
+    mapping = {
+        "PATCH_SIZE": "patch_size", "IN_CHANS": "in_chans",
+        "EMBED_DIM": "embed_dim", "DEPTHS": "depths",
+        "NUM_HEADS": "num_heads", "WINDOW_SIZE": "window_size",
+        "MLP_RATIO": "mlp_ratio", "QKV_BIAS": "qkv_bias",
+        "APE": "ape", "PATCH_NORM": "patch_norm",
+    }
+    for yk, fk in mapping.items():
+        if yk in swin:
+            v = swin[yk]
+            kw[fk] = tuple(v) if isinstance(v, list) else v
+    if "IMG_SIZE" in data:
+        kw["img_size"] = data["IMG_SIZE"]
+    return SwinConfig(**kw)

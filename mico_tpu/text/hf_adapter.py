@@ -99,3 +99,16 @@ class HFTokenizer:
             return_tensors="np",
         )
         return enc["input_ids"].astype(np.int32)
+
+
+# per-HF-model-type default pooler (reference hf_configs.py arch_dict)
+ARCH_POOLERS: Dict[str, str] = {
+    "roberta": "mean_pooler",
+    "xlm-roberta": "mean_pooler",
+    "mt5": "mean_pooler",
+    "bert": "cls_pooler",
+}
+
+
+def default_pooler_for(model_type: str) -> str:
+    return ARCH_POOLERS.get(model_type, "cls_pooler")

@@ -100,3 +100,24 @@ def test_download_corpus_gated(capsys):
     rc = main(["list.parquet", "./out"])
     assert rc == 1  # video2dataset absent here: print invocation, exit 1
     assert "video2dataset" in capsys.readouterr().out
+
+
+def test_swin_yaml_config(tmp_path):
+    from mico_tpu.models.swin import SWIN_CONFIGS, swin_config_from_yaml
+
+    y = tmp_path / "swin.yaml"
+    y.write_text(
+        "DATA:\n  IMG_SIZE: 224\nMODEL:\n  TYPE: swin\n  SWIN:\n"
+        "    EMBED_DIM: 128\n    DEPTHS: [ 2, 2, 18, 2 ]\n"
+        "    NUM_HEADS: [ 4, 8, 16, 32 ]\n    WINDOW_SIZE: 7\n"
+    )
+    cfg = swin_config_from_yaml(str(y))
+    assert cfg == SWIN_CONFIGS["swin_base_patch4_window7_224_22k"]
+
+
+def test_hf_arch_poolers():
+    from mico_tpu.text.hf_adapter import default_pooler_for
+
+    assert default_pooler_for("roberta") == "mean_pooler"
+    assert default_pooler_for("bert") == "cls_pooler"
+    assert default_pooler_for("unknown-model") == "cls_pooler"
