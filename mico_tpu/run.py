@@ -151,7 +151,10 @@ def main(argv=None):
 
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
         opt_state = optimizer.init(params)
-        params, opt_state = shard_train_state(mesh, params, opt_state)
+        params, opt_state = shard_train_state(
+            mesh, params, opt_state,
+            zero1=bool(run_cfg.get("zero1", False)),
+        )
         if run_cfg.get("first_eval") and val_loaders:
             test(cfg, params, val_loaders, run_cfg, tokenizer)
         train(

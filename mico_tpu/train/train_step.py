@@ -69,14 +69,28 @@ def shard_train_state(
     params,
     opt_state,
     model_axis: Optional[str] = "model",
+    zero1: bool = False,
 ):
-    """Place params/opt_state on the mesh per the partition rules."""
+    """Place params/opt_state on the mesh per the partition rules.
+
+    zero1=True shards every optimizer-state leaf (the Adam moments — 2x the
+    params) along its first data-axis-divisible dimension over `data`, the
+    ZeRO-stage-1 memory split: each shard owns a slice of the update math
+    and GSPMD all-gathers the applied updates. Off by default (single-chip
+    and tiny-model runs gain nothing)."""
     specs = mico_param_specs(params, model_axis)
     to_named = lambda spec: NamedSharding(mesh, spec)
     params = jax.device_put(params, jax.tree.map(to_named, specs))
 
+    n_data = mesh.shape.get("data", 1)
+
     def opt_spec(leaf):
-        # adam moments mirror the param tree shape-wise; match by shape
+        if zero1 and hasattr(leaf, "shape") and n_data > 1:
+            for i, d in enumerate(leaf.shape):
+                if d >= n_data and d % n_data == 0:
+                    return NamedSharding(
+                        mesh, P(*([None] * i), "data")
+                    )
         return NamedSharding(mesh, P())
 
     opt_state = jax.device_put(opt_state, jax.tree.map(opt_spec, opt_state))
