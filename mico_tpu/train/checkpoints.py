@@ -166,11 +166,16 @@ def load_from_pretrained_dir(
     pretrain_dir: str,
     video_resolution: int = 224,
     config_overrides: Optional[dict] = None,
+    return_modal: str = "full",
 ) -> Tuple[dict, MiCoConfig]:
     """Reference-parity loader (inference_demo.py:14-116 +
     build_model.py:65-103): read `log/hps.json`, pick the newest HF-trainer
     `checkpoint-N` or `ckpt/model_step_*`, convert to the param pytree.
-    → (params, MiCoConfig)."""
+    → (params, MiCoConfig).
+
+    return_modal (inference_demo.py:99-112): 'full' = the whole model;
+    'uni' = just the shared vision tower subtree; 'text' = just the BERT
+    interface subtree."""
     hps = load_hps(pretrain_dir)
     model_cfg = dict(hps.get("model_cfg", hps))
     model_cfg["vision_resolution"] = video_resolution
@@ -178,11 +183,18 @@ def load_from_pretrained_dir(
         model_cfg.update(config_overrides)
     cfg = mico_config_from_dict(model_cfg)
 
+    def finish(params):
+        if return_modal == "uni":
+            return params["vision_encoder"], cfg
+        if return_modal == "text":
+            return params["bert"], cfg
+        return params, cfg
+
     hf_sd = _hf_trainer_state_dict(pretrain_dir)
     if hf_sd is not None:
         from mico_tpu.models.mico import mico_from_torch
 
-        return mico_from_torch(hf_sd, cfg), cfg
+        return finish(mico_from_torch(hf_sd, cfg))
 
     ckpt_dir = os.path.join(pretrain_dir, "ckpt")
     step, path = _latest_step(ckpt_dir, "model")
@@ -196,4 +208,4 @@ def load_from_pretrained_dir(
         from mico_tpu.models.mico import mico_from_torch
 
         params = mico_from_torch(load_torch_state_dict(path), cfg)
-    return params, cfg
+    return finish(params)

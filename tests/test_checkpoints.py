@@ -137,3 +137,45 @@ def test_hf_trainer_sharded_checkpoint(tmp_path):
     assert set(sd) == {"a", "b"}
     assert sd["a"].shape == (2,)  # newest step won
     assert _hf_trainer_state_dict(str(tmp_path / "nope")) is None
+
+
+def test_return_modal_filter(tmp_path):
+    """return_modal sub-checkpoint extraction (inference_demo.py:99-112):
+    'uni' = vision tower, 'text' = BERT interface."""
+    import jax
+
+    from mico_tpu.config import BertConfig, EvaVitConfig, mico_config_from_dict
+    from mico_tpu.models.mico import init_mico
+    from mico_tpu.train.checkpoints import ModelSaver, load_from_pretrained_dir
+
+    model_cfg = {
+        "eva_override": {"image_size": 28, "patch_size": 14, "layers": 1,
+                         "width": 32, "head_width": 16, "embed_dim": 16},
+        "bert_override": {"hidden_size": 32, "num_hidden_layers": 1,
+                          "num_attention_heads": 2, "intermediate_size": 64,
+                          "encoder_width": 32},
+        "contra_dim": 16, "compute_dtype": "float32",
+        "use_flash_attention": False,
+    }
+    import json
+
+    pre = tmp_path / "dir"
+    (pre / "log").mkdir(parents=True)
+    (pre / "log" / "hps.json").write_text(json.dumps({"model_cfg": model_cfg}))
+    cfg = mico_config_from_dict(model_cfg)
+    ModelSaver(str(pre)).save(1, init_mico(jax.random.PRNGKey(0), cfg))
+
+    full, _ = load_from_pretrained_dir(str(pre), video_resolution=28,
+                                       config_overrides=model_cfg)
+    uni, _ = load_from_pretrained_dir(str(pre), video_resolution=28,
+                                      config_overrides=model_cfg,
+                                      return_modal="uni")
+    text, _ = load_from_pretrained_dir(str(pre), video_resolution=28,
+                                       config_overrides=model_cfg,
+                                       return_modal="text")
+    assert "blocks" in uni and "contra_head_v" not in uni
+    assert "layers" in text and "vision_encoder" not in text
+    np.testing.assert_array_equal(
+        np.asarray(full["vision_encoder"]["cls_token"]),
+        np.asarray(uni["cls_token"]),
+    )
