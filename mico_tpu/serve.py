@@ -126,36 +126,65 @@ class EmbeddingPipeline:
     # ---- host-side batching ------------------------------------------------
 
     def _run(self, paths: Sequence[str], proc, device_fn) -> np.ndarray:
-        """Threaded decode → fixed-size padded batches → async device
-        dispatch with one-batch lookahead."""
+        """Streaming threaded decode → fixed-size padded batches → async
+        device dispatch. Decode runs a few batches ahead of the device
+        (bounded window, so arbitrarily long path lists stream at constant
+        host memory); device dispatch is async, so H2D of batch i+1
+        overlaps batch i's compute."""
         self.last_failures = []
-        items = list(self.pool.map(proc, paths))
-        sample_shape = next(
-            (np.asarray(x).shape for x in items if x is not None), None
-        )
-        if sample_shape is None:
-            self.last_failures = list(range(len(paths)))
-            return np.zeros((len(paths), self.cfg.contra_dim), np.float32)
-
         bs = self.batch_size
-        batches = []
-        for start in range(0, len(items), bs):
-            chunk = items[start : start + bs]
-            arr = np.zeros((bs, *sample_shape), np.float32)
+        window = 4 * bs
+        futures = [self.pool.submit(proc, p) for p in paths[:window]]
+        next_submit = len(futures)
+
+        outs = []
+        sample_shape = None
+        chunk, chunk_start = [], 0
+        n = len(paths)
+
+        def flush(chunk, start):
+            nonlocal sample_shape
+            if sample_shape is None:
+                sample_shape = next(
+                    (np.asarray(x).shape for x in chunk if x is not None),
+                    None,
+                )
             for j, x in enumerate(chunk):
                 if x is None:
                     self.last_failures.append(start + j)
-                else:
+            if sample_shape is None:       # all failures so far: zero rows
+                outs.append((start, len(chunk), None))
+                return
+            arr = np.zeros((bs, *sample_shape), np.float32)
+            for j, x in enumerate(chunk):
+                if x is not None:
                     arr[j] = x
-            batches.append(arr)
+            outs.append(
+                (start, len(chunk),
+                 device_fn(self.params, jax.device_put(arr)))
+            )
 
-        outs = []
-        # async dispatch IS the double buffering: device_put + the jitted
-        # call enqueue without blocking, so batch i+1's H2D overlaps batch
-        # i's compute; the np.asarray readback at the end synchronizes
-        for arr in batches:
-            outs.append(device_fn(self.params, jax.device_put(arr)))
-        feats = np.concatenate([np.asarray(o) for o in outs])[: len(items)]
+        for i in range(n):
+            chunk.append(futures[i].result())
+            futures.append(
+                self.pool.submit(proc, paths[next_submit])
+                if next_submit < n else None
+            )
+            next_submit += 1
+            if len(chunk) == bs:
+                flush(chunk, chunk_start)
+                chunk, chunk_start = [], i + 1
+        if chunk:
+            flush(chunk, chunk_start)
+
+        dim = next(
+            (np.asarray(o).shape[-1] for _, _, o in outs if o is not None),
+            self.cfg.contra_dim,
+        )
+        feats = np.zeros((n, dim), np.float32)
+        for start, count, o in outs:
+            if o is not None:
+                feats[start : start + count] = np.asarray(o)[:count]
         for i in self.last_failures:
             feats[i] = 0.0
         return feats
