@@ -186,17 +186,20 @@ def _packed_body(q_ref, k_ref, v_ref, o_ref, nh, d, scale, group,
     """Shared packed-attention body; offsets select q/k/v column ranges
     inside possibly-fused input refs."""
     prec = _prec_for(k_ref.dtype)
+    s_scale = jnp.float32(scale)
 
     def qk(h):
         qh = q_ref[0][:, q_off + h * d : q_off + (h + 1) * d]
         kh = k_ref[0][:, k_off + h * d : k_off + (h + 1) * d]
-        qh = qh.astype(jnp.float32) * scale
-        return jax.lax.dot_general(
-            qh.astype(kh.dtype), kh,
+        # scale the fp32 scores instead of q: exact (no bf16 round-trip on
+        # q) and one fused VPU pass instead of two per head
+        s = jax.lax.dot_general(
+            qh, kh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
+        return s * s_scale
 
     for g in range(0, nh, group):
         heads = range(g, min(g + group, nh))
