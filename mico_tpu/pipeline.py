@@ -54,6 +54,7 @@ def train(
     saver = ModelSaver(
         run_cfg.get("output_dir", "./output"),
         remove_before_ckpt=bool(run_cfg.get("remove_before_ckpt", True)),
+        backend=run_cfg.get("checkpoint_backend", "npz"),
     )
     batch_tok = BatchTokenizer(
         tokenizer,

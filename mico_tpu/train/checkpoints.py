@@ -61,21 +61,49 @@ def load_pytree_npz(path: str):
 
 
 class ModelSaver:
-    def __init__(self, output_dir: str, remove_before_ckpt: bool = True):
+    """npz (default) or orbax backend. orbax saves ASYNCHRONOUSLY — the
+    training loop continues while the previous checkpoint flushes (the
+    production behavior for billion-param models; the reference blocks on
+    torch.save, data/utils/save.py:15-41)."""
+
+    def __init__(self, output_dir: str, remove_before_ckpt: bool = True,
+                 backend: str = "npz"):
         self.ckpt_dir = os.path.join(output_dir, "ckpt")
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.remove_before_ckpt = remove_before_ckpt
+        self.backend = backend
+        self._orbax = None
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
 
     def _clean(self, pattern: str):
+        import shutil
+
         for p in glob.glob(os.path.join(self.ckpt_dir, pattern)):
-            os.remove(p)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
 
     def save(self, step: int, params, opt_state=None):
-        if self.remove_before_ckpt:
-            self._clean("model_step_*.npz")
-        save_pytree_npz(
-            os.path.join(self.ckpt_dir, f"model_step_{step}.npz"), params
-        )
+        if self.backend == "orbax":
+            self._orbax.wait_until_finished()
+            if self.remove_before_ckpt:
+                self._clean("model_step_*.orbax")
+            self._orbax.save(
+                os.path.join(self.ckpt_dir, f"model_step_{step}.orbax"),
+                jax.device_get(params),
+            )
+        else:
+            if self.remove_before_ckpt:
+                self._clean("model_step_*.npz")
+            save_pytree_npz(
+                os.path.join(self.ckpt_dir, f"model_step_{step}.npz"), params
+            )
         if opt_state is not None:
             if self.remove_before_ckpt:
                 self._clean("optimizer_step_*.npz")
@@ -89,6 +117,20 @@ class ModelSaver:
         save_pytree_npz(
             os.path.join(self.ckpt_dir, f"best_{metric}.npz"), params
         )
+
+    def wait(self):
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+
+
+def load_checkpoint_path(path: str):
+    """Load a model checkpoint by extension: .orbax dir or .npz."""
+    if path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            return ckptr.restore(path)
+    return load_pytree_npz(path)
 
 
 def _latest_step(ckpt_dir: str, prefix: str):
@@ -106,7 +148,7 @@ def resume_latest(output_dir: str, opt_state_template=None):
     step, model_path = _latest_step(ckpt_dir, "model")
     if step is None:
         return None, None, 0
-    params = load_pytree_npz(model_path)
+    params = load_checkpoint_path(model_path)
     opt_state = None
     _, opt_path = _latest_step(ckpt_dir, "optimizer")
     if opt_path and opt_state_template is not None:
@@ -202,8 +244,8 @@ def load_from_pretrained_dir(
         raise FileNotFoundError(f"no model_step_* checkpoint in {ckpt_dir}")
     LOGGER.info("load_from_pretrained: %s", path)
 
-    if path.endswith(".npz"):
-        params = load_pytree_npz(path)
+    if path.endswith((".npz", ".orbax")):
+        params = load_checkpoint_path(path)
     else:
         from mico_tpu.models.mico import mico_from_torch
 

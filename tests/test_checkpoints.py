@@ -179,3 +179,30 @@ def test_return_modal_filter(tmp_path):
         np.asarray(full["vision_encoder"]["cls_token"]),
         np.asarray(uni["cls_token"]),
     )
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """orbax async checkpoint backend: save -> resume round-trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from mico_tpu.train.checkpoints import ModelSaver, resume_latest
+
+    params = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    saver = ModelSaver(str(tmp_path), backend="orbax")
+    saver.save(7, params)
+    saver.wait()
+    got, _, step = resume_latest(str(tmp_path))
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.asarray(params["a"]))
+    np.testing.assert_array_equal(
+        np.asarray(got["b"]["c"]), np.asarray(params["b"]["c"])
+    )
+    # second save removes the previous one
+    saver.save(9, params)
+    saver.wait()
+    import os
+
+    names = os.listdir(tmp_path / "ckpt")
+    assert any("model_step_9" in n for n in names)
+    assert not any("model_step_7" in n for n in names)
