@@ -314,3 +314,39 @@ def test_zero1_optimizer_sharding_equivalence(rng, params):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_part_causal_mask_golden():
+    """part_causal_3d_mask matches the reference construction literally
+    (vast.py:594-600: pad-mask expanded, answer block tril'd, question rows
+    blinded to answers)."""
+    import torch
+
+    from mico_tpu.train.objectives import causal_3d_mask, part_causal_3d_mask
+
+    rng = np.random.default_rng(0)
+    b, lq, la = 3, 6, 4
+    q_mask = np.ones((b, lq), np.int64)
+    q_mask[0, 4:] = 0
+    q_mask[2, 5:] = 0
+    a_mask = np.ones((b, la), np.int64)
+    a_mask[1, 3:] = 0
+
+    # reference formula
+    att = torch.cat([torch.from_numpy(q_mask), torch.from_numpy(a_mask)], 1)
+    seq = att.shape[1]
+    ref = att.unsqueeze(1).expand(-1, seq, -1).clone()
+    ref[:, lq:seq, lq:seq] = torch.tril(ref[:, lq:seq, lq:seq])
+    ref[:, :lq, lq:seq] = 0
+
+    got = part_causal_3d_mask(jnp.asarray(q_mask), jnp.asarray(a_mask))
+    np.testing.assert_array_equal(np.asarray(got), ref.numpy())
+
+    # caption causal mask matches the reference tril-of-expanded-padmask
+    # (vast.py:491-494)
+    c_mask = np.ones((b, 5), np.int64)
+    c_mask[1, 3:] = 0
+    refc = torch.from_numpy(c_mask).unsqueeze(1).expand(-1, 5, -1).clone()
+    refc = torch.tril(refc)
+    gotc = causal_3d_mask(jnp.asarray(c_mask))
+    np.testing.assert_array_equal(np.asarray(gotc), refc.numpy())
