@@ -388,6 +388,10 @@ def cached_generate(
         logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
         if mode == "greedy":
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        elif mode == "scst":
+            # full-softmax multinomial, the SCST sampling rule
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
         else:
             key, sub = jax.random.split(key)
             vals, idx = jax.lax.top_k(logits, top_k)
@@ -691,6 +695,7 @@ def generate_scst(
     max_new_tokens: int = 40,
     rng: jax.Array,
     compute_dtype=jnp.float32,
+    use_cache: bool = False,
 ):
     """Self-critical (SCST) sampling: full-softmax multinomial decode that
     also returns the log-probability of each sampled token WITH gradients —
@@ -702,7 +707,17 @@ def generate_scst(
     The policy-gradient REINFORCE loss is then
     `-(reward - baseline) * logp.sum(-1)` over e.g. CIDEr rewards; sampling
     is through `jax.random.categorical`, so only `logp` carries grad (the
-    standard score-function estimator)."""
+    standard score-function estimator).
+
+    use_cache=True routes through the KV-cached decoder (same tokens/logP,
+    fewer forward FLOPs; the grad still saves per-step residuals, so prefer
+    it when activation memory allows)."""
+    if use_cache:
+        return cached_generate(
+            params, cfg, condition_feat, max_new_tokens=max_new_tokens,
+            mode="scst", rng=rng, compute_dtype=compute_dtype,
+            return_logp=True,
+        )
     b = condition_feat.shape[0]
     l = max_new_tokens + 2
     tokens0 = jnp.full((b, l), BERT_PAD_ID, jnp.int32).at[:, 0].set(BERT_CLS_ID)

@@ -283,3 +283,17 @@ def test_cached_qa_matches_recompute(setup):
                          max_new_tokens=8, mode="greedy", use_cache=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_scst_cached_matches_recompute(setup):
+    from mico_tpu.generation import generate_scst
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    t1, l1 = generate_scst(params, CFG, cond_j, max_new_tokens=6,
+                           rng=jax.random.PRNGKey(9))
+    t2, l2 = generate_scst(params, CFG, cond_j, max_new_tokens=6,
+                           rng=jax.random.PRNGKey(9), use_cache=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-6)
