@@ -302,10 +302,16 @@ class Evaluator:
 
     # ---- QA ----
 
-    def eval_qa(self, loader, task: str) -> Dict[str, float]:
+    def eval_qa(self, loader, task: str,
+                submission_path: Optional[str] = None) -> Dict[str, float]:
+        """VQA eval; with `submission_path` also dumps
+        [{question_id, answer}] for test-server submission (the dataset
+        `make_submission` flag, reference data/data/IndexAnno.py eval
+        fields)."""
         _, subs = _subtasks(task)
         preds: Dict[str, list] = {s: [] for s in subs}
         answers = []
+        question_ids = []
         for batch in loader:
             tb = self.batch_tok(batch, task)
             arrays = {
@@ -326,13 +332,30 @@ class Evaluator:
                     compute_dtype=jnp.dtype(self.cfg.compute_dtype),
                 )
                 preds[sub].extend(self.tok.batch_decode(np.asarray(toks)))
-            answers.extend(batch["raw_answers"])
+            answers.extend(batch.get("raw_answers", [None] * len(tb["ids"])))
+            question_ids.extend(batch.get("question_ids_raw",
+                                          batch.get("ids", [])))
         results = {}
+        scored = [a for a in answers if a is not None]
         for sub in subs:
-            results[f"accuracy_{sub}"] = vqa_accuracy(preds[sub], answers)
-        results["accuracy"] = float(
-            np.mean(list(results.values()))
-        )
+            if scored:
+                results[f"accuracy_{sub}"] = vqa_accuracy(
+                    [p for p, a in zip(preds[sub], answers) if a is not None],
+                    scored,
+                )
+        if results:
+            results["accuracy"] = float(np.mean(list(results.values())))
+        if submission_path:
+            sub0 = subs[0]
+            with open(submission_path, "w") as f:
+                json.dump(
+                    [
+                        {"question_id": q, "answer": p}
+                        for q, p in zip(question_ids, preds[sub0])
+                    ],
+                    f,
+                )
+            results["num_submitted"] = float(len(preds[sub0]))
         return results
 
 
@@ -362,7 +385,13 @@ def evaluation_mm(
                 ) if captioner_mode else None,
             )
         elif head == "qa":
-            logs[name] = evaluator.eval_qa(loader, task)
+            out_dir = run_cfg.get("output_dir", ".")
+            logs[name] = evaluator.eval_qa(
+                loader, task,
+                submission_path=os.path.join(
+                    out_dir, f"submission_step{global_step}_{name}.json"
+                ) if run_cfg.get("make_submission") else None,
+            )
         else:
             LOGGER.warning("unknown eval task %s for loader %s", task, name)
         LOGGER.info("eval step %d %s: %s", global_step, name, logs.get(name))

@@ -307,3 +307,41 @@ def test_multi_caption_retrieval_eval():
     # 6 text rows over 3 visual items; recall well-defined
     assert 0.0 <= out["t2v_r1_v"] <= 1.0
     assert 0.0 <= out["video_r1"] <= 1.0
+
+
+def test_qa_submission_dump(tmp_path):
+    """make_submission: QA eval dumps [{question_id, answer}]."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from mico_tpu.config import BertConfig, EvaVitConfig, MiCoConfig
+    from mico_tpu.evaluation import Evaluator
+    from mico_tpu.models.mico import init_mico
+    from mico_tpu.text import BertWordPieceTokenizer
+
+    cfg = MiCoConfig(
+        eva_override=EvaVitConfig(image_size=28, patch_size=14, layers=1,
+                                  width=32, head_width=16, embed_dim=16),
+        bert_override=BertConfig(hidden_size=32, num_hidden_layers=1,
+                                 num_attention_heads=2, intermediate_size=64,
+                                 encoder_width=32),
+        contra_dim=16, max_caption_len=8, beam_size=2,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    params = init_mico(jax.random.PRNGKey(0), cfg)
+    ev = Evaluator(cfg, params, BertWordPieceTokenizer(VOCAB))
+    rng = np.random.default_rng(0)
+    batch = {
+        "ids": ["q1", "q2"],
+        "raw_questions": ["what is shown", "how many items"],
+        "vision_pixels": rng.standard_normal((2, 1, 3, 28, 28)).astype(
+            np.float32
+        ),
+    }
+    sub_path = str(tmp_path / "sub.json")
+    out = ev.eval_qa([batch], "qa%tv", submission_path=sub_path)
+    assert out["num_submitted"] == 2.0
+    subm = json.load(open(sub_path))
+    assert len(subm) == 2 and set(subm[0]) == {"question_id", "answer"}
