@@ -36,7 +36,9 @@ _FIELDS = (
     "ids_txt",
     "raw_questions",
     "raw_answers",
-    "question_ids",
+    # eval-time VQA question identifiers (reference IndexAnno question_id);
+    # named *_raw so the tokenize bridge's token arrays keep `question_ids`
+    "question_ids_raw",
     "audio_spectrograms",
     "raw_subtitles",
     # VAST-27M per-source caption streams (the task engine picks one per
