@@ -168,8 +168,15 @@ def generate_answers(
     causally after a [CLS] (the reference part-causal mask + generate flow,
     data/model/vast.py:617-650). → (B, max_new_tokens + 1) starting [CLS].
 
-    greedy/sample run KV-cached (prefix prefilled once) when use_cache."""
+    All modes run KV-cached (prefix prefilled once) when use_cache."""
     if mode == "beam":
+        if use_cache:
+            return cached_beam_generate(
+                params, cfg, condition_feat, max_new_tokens=max_new_tokens,
+                num_beams=num_beams, length_penalty=length_penalty,
+                compute_dtype=compute_dtype,
+                prefix_ids=question_ids, prefix_mask=question_mask,
+            )
         return _beam_generate(
             params, cfg, condition_feat, max_new_tokens, num_beams,
             length_penalty, compute_dtype,
@@ -578,20 +585,41 @@ def cached_beam_generate(
     num_beams: int = 3,
     length_penalty: float = 0.6,
     compute_dtype=jnp.float32,
+    prefix_ids: Optional[jnp.ndarray] = None,
+    prefix_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """KV-cached beam search, output-identical to the recompute
     `_beam_generate`: beams live as (B·k) cache rows; after each beam
-    selection the caches are re-gathered by parent-beam index."""
+    selection the caches are re-gathered by parent-beam index. With
+    prefix_ids/prefix_mask (QA) the question prefix is prefilled once and
+    replicated per beam."""
     b = condition_feat.shape[0]
     k = num_beams
     h = cfg.hidden_size
     v = cfg.vocab_size
+    lq = 0 if prefix_ids is None else prefix_ids.shape[1]
     lmax = max_new_tokens + 1
+    total = lq + lmax
     n_layers = cfg.num_hidden_layers
     bk = b * k
 
-    # cross K/V stay per batch element; beams fold into query rows
-    xk, xv = _cross_kv(params, condition_feat.astype(compute_dtype))
+    cond = condition_feat.astype(compute_dtype)
+    if prefix_ids is not None:
+        ck0, cv0, xk, xv = _prefill_prefix(
+            params, cfg, prefix_ids, prefix_mask, cond, total, compute_dtype
+        )
+        ck0 = jnp.repeat(ck0, k, axis=1)          # per-beam self caches
+        cv0 = jnp.repeat(cv0, k, axis=1)
+        pfx_cols = jnp.pad(
+            prefix_mask.astype(jnp.float32), ((0, 0), (0, total + 1 - lq))
+        )
+        pfx_cols = jnp.repeat(pfx_cols, k, axis=0)      # (bk, total+1)
+    else:
+        # cross K/V stay per batch element; beams fold into query rows
+        xk, xv = _cross_kv(params, cond)
+        ck0 = jnp.zeros((n_layers, bk, total, h), compute_dtype)
+        cv0 = jnp.zeros((n_layers, bk, total, h), compute_dtype)
+        pfx_cols = None
     xk = xk.astype(compute_dtype)
     xv = xv.astype(compute_dtype)
 
@@ -600,8 +628,6 @@ def cached_beam_generate(
     live_scores0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
     fin_tokens0 = tokens0
     fin_scores0 = jnp.full((b, k), NEG_INF)
-    ck0 = jnp.zeros((n_layers, bk, lmax, h), compute_dtype)
-    cv0 = jnp.zeros((n_layers, bk, lmax, h), compute_dtype)
     emb = params["embeddings"]
 
     def step(carry, t):
@@ -610,19 +636,30 @@ def cached_beam_generate(
         ids = jnp.stack(
             [flat_committed, jnp.full_like(flat_committed, BERT_MASK_ID)], 1
         )
-        pos = jnp.stack([jnp.full((bk,), t), jnp.full((bk,), t + 1)], 1)
+        pos = jnp.stack(
+            [jnp.full((bk,), lq + t), jnp.full((bk,), lq + t + 1)], 1
+        )
         x = bert_embeddings(
             emb, cfg, ids, position_ids=pos, compute_dtype=compute_dtype
         )
-        cols = jnp.arange(lmax + 1)
-        row_c = jnp.where(cols <= t, 0.0, NEG_INF)
-        row_p = jnp.where((cols <= t) | (cols == lmax), 0.0, NEG_INF)
-        bias = jnp.stack([row_c, row_p])[None, None]
+        cols = jnp.arange(total + 1)
+        gen_c = ((cols >= lq) & (cols <= lq + t)).astype(jnp.float32)
+        probe_c = (cols == total).astype(jnp.float32)
+        if pfx_cols is None:
+            allow_c = gen_c[None]
+            allow_p = jnp.maximum(gen_c, probe_c)[None]
+        else:
+            allow_c = jnp.maximum(pfx_cols, gen_c[None])
+            allow_p = jnp.maximum(allow_c, probe_c[None])
+        bias = ((1.0 - jnp.stack(
+            [jnp.broadcast_to(allow_c, (bk, total + 1)),
+             jnp.broadcast_to(allow_p, (bk, total + 1))], axis=1
+        )) * NEG_INF)[:, None]                       # (bk, 1, 2, total+1)
 
         def layer(x, xs):
             lp, ckl, cvl, xkl, xvl = xs
             x, ckl, cvl = _cached_layer_step(
-                x, lp, ckl, cvl, xkl, xvl, t, cfg, bias, n_rep=k
+                x, lp, ckl, cvl, xkl, xvl, lq + t, cfg, bias, n_rep=k
             )
             return x, (ckl, cvl)
 

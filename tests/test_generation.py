@@ -297,3 +297,30 @@ def test_scst_cached_matches_recompute(setup):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cached_qa_beam_matches_recompute(setup):
+    from mico_tpu.generation import generate_answers
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    rng = np.random.default_rng(6)
+    q_ids = np.zeros((2, 7), np.int64)
+    q_mask = np.zeros((2, 7), np.int64)
+    for i, n in enumerate((7, 4)):
+        q_ids[i, 0] = CLS
+        q_ids[i, 1 : n - 1] = rng.integers(4, 100, (n - 2,))
+        q_ids[i, n - 1] = SEP
+        q_mask[i, :n] = 1
+    q_ids, q_mask = jnp.asarray(q_ids), jnp.asarray(q_mask)
+    want = np.asarray(
+        generate_answers(params, CFG, q_ids, q_mask, cond_j,
+                         max_new_tokens=6, mode="beam", num_beams=3,
+                         use_cache=False)
+    )
+    got = np.asarray(
+        generate_answers(params, CFG, q_ids, q_mask, cond_j,
+                         max_new_tokens=6, mode="beam", num_beams=3,
+                         use_cache=True)
+    )
+    np.testing.assert_array_equal(got, want)
