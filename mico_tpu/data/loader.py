@@ -73,6 +73,18 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """put() that rechecks `stop` so an abandoned consumer (early
+            break with the queue full) can't wedge the producer — and its
+            ThreadPoolExecutor — in a blocking put forever."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             from concurrent.futures import ThreadPoolExecutor
 
@@ -81,8 +93,9 @@ class DataLoader:
                     if stop.is_set():
                         break
                     samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    out_q.put(self.collate_fn(samples))
-            out_q.put(None)
+                    if not put_or_stop(self.collate_fn(samples)):
+                        return
+            put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -153,6 +153,47 @@ class Evaluator:
                 text_masks.append(mask[:n_txt])
             txt2vis.extend(n_vis + j for j in local)
             n_vis += b
+        # Multi-host: val loaders shard samples across processes (no-pad
+        # sampler), so every process holds 1/world of the gallery. Gather
+        # everything before scoring — the reference ddp_allgathers eval
+        # outputs for the same reason (data/utils/distributed.py:133-149).
+        if jax.process_count() > 1:
+            from mico_tpu.parallel.collectives import gather_objects
+
+            payload = {
+                "t": np.concatenate(feats_t) if feats_t else
+                np.zeros((0, self.cfg.contra_dim), np.float32),
+                "v": {m: (np.concatenate(c) if c else None)
+                      for m, c in feats.items()},
+                "txt2vis": txt2vis,
+                "n_vis": n_vis,
+                "conds": {m: (np.concatenate(c) if c else None)
+                          for m, c in conds.items()} if itm_rerank else None,
+                "text_ids": np.concatenate(text_ids) if text_ids else None,
+                "text_masks": (np.concatenate(text_masks)
+                               if text_masks else None),
+            }
+            shards = gather_objects(payload)
+            off, merged_map = 0, []
+            for sh in shards:
+                merged_map.extend(off + j for j in sh["txt2vis"])
+                off += sh["n_vis"]
+            txt2vis = merged_map
+            feats_t = [sh["t"] for sh in shards]
+            feats = {
+                m: [sh["v"][m] for sh in shards if sh["v"][m] is not None]
+                for m in feats
+            }
+            if itm_rerank:
+                conds = {
+                    m: [sh["conds"][m] for sh in shards
+                        if sh["conds"][m] is not None]
+                    for m in conds
+                }
+                text_ids = [sh["text_ids"] for sh in shards
+                            if sh["text_ids"] is not None]
+                text_masks = [sh["text_masks"] for sh in shards
+                              if sh["text_masks"] is not None]
         results: Dict[str, float] = {}
         t = np.concatenate(feats_t)
         for m, chunks in feats.items():
@@ -274,6 +315,16 @@ class Evaluator:
             caps = tb.get("raw_captions")
             if caps is not None:
                 refs.extend([c if isinstance(c, list) else [c] for c in caps])
+        if jax.process_count() > 1:
+            from mico_tpu.parallel.collectives import gather_objects
+
+            shards = gather_objects(
+                {"hyps": hyps, "refs": refs, "ids": ids}
+            )
+            hyps = {s: sum((sh["hyps"][s] for sh in shards), [])
+                    for s in subs}
+            refs = sum((sh["refs"] for sh in shards), [])
+            ids = sum((sh["ids"] for sh in shards), [])
         results: Dict[str, float] = {}
         if captioner_mode:
             for sub in subs:
@@ -285,7 +336,7 @@ class Evaluator:
                     {"clip_id": i, f"{sub}_captions": g}
                     for i, g in zip(ids, grouped)
                 )
-            if output_path:
+            if output_path and jax.process_index() == 0:
                 with open(output_path, "w") as f:
                     json.dump(annotations, f)
             results["num_annotated"] = float(len(ids))
@@ -335,6 +386,16 @@ class Evaluator:
             answers.extend(batch.get("raw_answers", [None] * len(tb["ids"])))
             question_ids.extend(batch.get("question_ids_raw",
                                           batch.get("ids", [])))
+        if jax.process_count() > 1:
+            from mico_tpu.parallel.collectives import gather_objects
+
+            shards = gather_objects(
+                {"preds": preds, "answers": answers, "qids": question_ids}
+            )
+            preds = {s: sum((sh["preds"][s] for sh in shards), [])
+                     for s in subs}
+            answers = sum((sh["answers"] for sh in shards), [])
+            question_ids = sum((sh["qids"] for sh in shards), [])
         results = {}
         scored = [a for a in answers if a is not None]
         for sub in subs:
@@ -347,14 +408,15 @@ class Evaluator:
             results["accuracy"] = float(np.mean(list(results.values())))
         if submission_path:
             sub0 = subs[0]
-            with open(submission_path, "w") as f:
-                json.dump(
-                    [
-                        {"question_id": q, "answer": p}
-                        for q, p in zip(question_ids, preds[sub0])
-                    ],
-                    f,
-                )
+            if jax.process_index() == 0:
+                with open(submission_path, "w") as f:
+                    json.dump(
+                        [
+                            {"question_id": q, "answer": p}
+                            for q, p in zip(question_ids, preds[sub0])
+                        ],
+                        f,
+                    )
             results["num_submitted"] = float(len(preds[sub0]))
         return results
 

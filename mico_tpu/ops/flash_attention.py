@@ -26,10 +26,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Beyond this many KV rows (fp32 score tile TQ x Lk plus resident K/V) we
-# spill VMEM; fall back to XLA.
+# Beyond this many KV rows (fp32 score tile TQ x Lk plus resident K/V) the
+# resident-KV kernel would spill VMEM; the KV-tiled online-softmax variant
+# takes over (running max / running sum, classic flash recurrence).
 MAX_RESIDENT_KV = 8192
 DEFAULT_TQ = 128
+DEFAULT_TK = 1024
 
 
 def _prec_for(dtype) -> jax.lax.Precision:
@@ -136,6 +138,142 @@ def _flash(q, k, v, bias, scale, block_q, interpret):
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# KV-tiled online-softmax kernel (long-context path)
+# ---------------------------------------------------------------------------
+#
+# Used past MAX_RESIDENT_KV, where the resident-KV kernel's fp32 score tile +
+# whole K/V would spill VMEM. Grid (b, h, q_tile, k_tile) with the KV axis
+# innermost: the running max / running sum / output accumulator live in VMEM
+# scratch, which Mosaic persists across sequential grid steps of the same
+# (b, h, q_tile). The reference's cross-attn context grows as n_frames x 257
+# (model/mico.py:187-248) — a 32-frame video is 8,224 tokens, past the
+# resident cliff; this kernel keeps it on the MXU at any length.
+
+# finite "-inf": exp(_NEG_BIG - m) underflows to 0 without the NaN that a
+# true -inf minus itself would produce on fully-masked rows
+_NEG_BIG = -1e30
+
+
+def _kv_tiled_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                     *, scale: float, n_k: int, lk: int, tk: int,
+                     bias_ref=None):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_BIG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                                       # (TQ, D)
+    k = k_ref[0, 0]                                       # (TK, D)
+    prec = _prec_for(k.dtype)
+    s = jax.lax.dot_general(
+        q.astype(k.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * jnp.float32(scale)                                # (TQ, TK)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    # mask the KV tail tile's padded columns
+    if lk % tk:
+        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < lk, s, _NEG_BIG)
+
+    m_prev = m_scr[:, :1]                                 # (TQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)                       # (TQ, 1)
+    p = jnp.exp(s - m_new)                                # (TQ, TK)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0]                                       # (TK, D)
+    if lk % tk:
+        # the tail tile's padded V rows hold garbage (NaN in interpret
+        # mode); p is 0 there but 0 * NaN = NaN, so zero the rows
+        row = ki * tk + jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
+        v = jnp.where(row < lk, v, jnp.zeros_like(v))
+    pv = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=prec,
+    )                                                     # (TQ, D)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k, interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    tq = min(block_q, lq)
+    tk = min(block_k, lk)
+    n_k = pl.cdiv(lk, tk)
+    grid = (b, h, pl.cdiv(lq, tq), n_k)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    kernel_kw = dict(scale=scale, n_k=n_k, lk=lk, tk=tk)
+    if bias is not None:
+        bb, bh, blq, _ = bias.shape
+        tb = tq if blq != 1 else 1
+
+        def bias_index(bi, hi, qi, ki, bb=bb, bh=bh, blq=blq):
+            return (bi if bb != 1 else 0,
+                    hi if bh != 1 else 0,
+                    qi if blq != 1 else 0,
+                    ki)
+
+        in_specs.append(
+            pl.BlockSpec((1, 1, tb, tk), bias_index, memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+
+        def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr):
+            _kv_tiled_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+                             acc_scr, bias_ref=b_ref, **kernel_kw)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            _kv_tiled_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+                             acc_scr, **kernel_kw)
+
+    flops = 2 * 2 * b * h * lq * lk * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, tq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 128), jnp.float32),   # running max
+            pltpu.VMEM((tq, 128), jnp.float32),   # running sum
+            pltpu.VMEM((tq, d), jnp.float32),     # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=q.size * 2 + k.size * 4,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -143,17 +281,18 @@ def flash_attention(
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_TQ,
+    block_k: int = DEFAULT_TK,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q (B,H,Lq,D); k,v (B,H,Lk,D); bias broadcastable (B|1,H|1,Lq|1,Lk)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    if k.shape[2] > MAX_RESIDENT_KV:
-        from mico_tpu.ops.attention import xla_attention
-
-        return xla_attention(q, k, v, bias=bias, scale=scale)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if k.shape[2] > MAX_RESIDENT_KV:
+        return _flash_kv_tiled(
+            q, k, v, bias, float(scale), block_q, block_k, interpret
+        )
     return _flash(q, k, v, bias, float(scale), block_q, interpret)
 
 

@@ -11,6 +11,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Perf experiment knob (scripts/perf_lab.py): when True, layer_norm output is
+# materialized behind an optimization barrier instead of being fused as a
+# producer into the consuming matmul.
+BARRIER_AFTER_LN = False
+
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf) GELU — matches torch.nn.GELU and the reference's
@@ -35,7 +40,10 @@ def layer_norm(
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(orig_dtype)
+    y = y.astype(orig_dtype)
+    if BARRIER_AFTER_LN:
+        y = jax.lax.optimization_barrier(y)
+    return y
 
 
 def linear(

@@ -54,10 +54,16 @@ def data_axis_size(axis_name: Optional[str]):
 # ---------------------------------------------------------------------------
 
 
-def gather_objects(obj, max_bytes: int = 1 << 20) -> list:
+def gather_objects(obj) -> list:
     """All-gather an arbitrary picklable object across processes → list of
     every process's object (reference all_gather_list). Single-process:
-    [obj]."""
+    [obj].
+
+    Two-phase, like the reference's length-prefix byte codec
+    (distributed.py:70-92): gather each blob's length first, then gather
+    the payloads padded to the actual max — so eval-sized objects
+    (feature matrices, tens of MB) cost exactly one max-size buffer, not a
+    guessed static cap."""
     import pickle
 
     import numpy as np
@@ -66,31 +72,27 @@ def gather_objects(obj, max_bytes: int = 1 << 20) -> list:
         return [obj]
     from jax.experimental import multihost_utils
 
-    blob = pickle.dumps(obj)
-    if len(blob) + 8 > max_bytes:
-        raise ValueError(f"object too large ({len(blob)}B > {max_bytes}B)")
-    buf = np.zeros((max_bytes,), np.uint8)
-    buf[:8] = np.frombuffer(
-        np.int64(len(blob)).tobytes(), np.uint8
-    )   # length prefix, like the reference's byte codec (_encode/_decode)
-    buf[8 : 8 + len(blob)] = np.frombuffer(blob, np.uint8)
+    blob = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.int64(len(blob)))
+    ).reshape(-1)
+    buf = np.zeros((int(lens.max()),), np.uint8)
+    buf[: len(blob)] = blob
     gathered = multihost_utils.process_allgather(buf)
-    out = []
-    for row in gathered:
-        n = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
-        out.append(pickle.loads(row[8 : 8 + n].tobytes()))
-    return out
+    return [
+        pickle.loads(np.asarray(row)[: int(n)].tobytes())
+        for row, n in zip(gathered, lens)
+    ]
 
 
-def broadcast_object(obj, max_bytes: int = 1 << 20):
+def broadcast_object(obj):
     """Broadcast process 0's picklable object to every process (reference
     any_broadcast — used to sync the MetaLoader task choice). Our MetaLoader
     already agrees cross-host via a shared seed; this exists for arbitrary
     host decisions."""
     if jax.process_count() == 1:
         return obj
-    objs = gather_objects(obj, max_bytes)
-    return objs[0]
+    return gather_objects(obj)[0]
 
 
 def gather_variable_batch(x, axis_name: Optional[str], max_batch: int):

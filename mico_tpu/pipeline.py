@@ -46,8 +46,13 @@ def train(
     tokenizer,
     mesh=None,
     evaluate_every: Optional[int] = None,
+    start_step: int = 0,
 ):
-    """Run the training loop; returns final (params, opt_state)."""
+    """Run the training loop; returns final (params, opt_state).
+
+    start_step: global step to resume counting from (reference
+    build_model.py:106-124 resume contract — the restored checkpoint's step,
+    so periodic saves continue the numbering instead of restarting at 0)."""
     num_steps = int(run_cfg.get("num_train_steps", 1000))
     valid_steps = evaluate_every or int(run_cfg.get("valid_steps", num_steps))
     log_every = int(run_cfg.get("log_every", 50))
@@ -70,7 +75,7 @@ def train(
     best_indicator: Dict[str, float] = {}
     rng = jax.random.PRNGKey(int(run_cfg.get("seed", 0)))
 
-    global_step = 0
+    global_step = int(start_step)
     t0 = time.time()
     for name, batch in iter(meta_loader):
         if global_step >= num_steps:
@@ -107,16 +112,19 @@ def train(
         if global_step % valid_steps == 0 or global_step == num_steps:
             evaluator = Evaluator(cfg, params, tokenizer, run_cfg)
             eval_log = evaluate_fn(evaluator, val_loaders, run_cfg, global_step)
-            saver.save(global_step, params, opt_state)
+            if jax.process_index() == 0:
+                saver.save(global_step, params, opt_state)
             for loader_name, metrics in eval_log.items():
                 t = loader_name.split("--")[0]
                 best_name = get_best_name(t)
                 if best_name and best_name in metrics:
                     if metrics[best_name] > best_indicator.get(loader_name, -1):
                         best_indicator[loader_name] = metrics[best_name]
-                        saver.save_best(
-                            f"{best_name}_{loader_name.split('--')[-1]}", params
-                        )
+                        if jax.process_index() == 0:
+                            saver.save_best(
+                                f"{best_name}_{loader_name.split('--')[-1]}",
+                                params,
+                            )
                     LOGGER.info(
                         "best %s for %s: %.4f",
                         best_name, loader_name, best_indicator[loader_name],

@@ -104,8 +104,9 @@ def main(argv=None):
     # model: resume > pretrain_dir > fresh init
     cfg = mico_config_from_dict(dict(model_cfg))
     params = None
+    resume_step = 0
     if run_cfg.get("resume"):
-        params, _, start = resume_latest(run_cfg["output_dir"])
+        params, _, resume_step = resume_latest(run_cfg["output_dir"])
     if params is None and run_cfg.get("pretrain_dir"):
         params, cfg = load_from_pretrained_dir(
             run_cfg["pretrain_dir"],
@@ -151,6 +152,14 @@ def main(argv=None):
 
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
         opt_state = optimizer.init(params)
+        if resume_step:
+            # restore Adam moments + inner step so the LR schedule and the
+            # checkpoint numbering continue where the run left off
+            from mico_tpu.train.checkpoints import load_latest_opt_state
+
+            restored = load_latest_opt_state(run_cfg["output_dir"], opt_state)
+            if restored is not None:
+                opt_state = restored
         params, opt_state = shard_train_state(
             mesh, params, opt_state,
             zero1=bool(run_cfg.get("zero1", False)),
@@ -159,7 +168,7 @@ def main(argv=None):
             test(cfg, params, val_loaders, run_cfg, tokenizer)
         train(
             cfg, params, opt_state, optimizer, meta_loader, val_loaders,
-            run_cfg, tokenizer, mesh=mesh,
+            run_cfg, tokenizer, mesh=mesh, start_step=resume_step,
         )
     elif mode == "testing":
         logs = test(cfg, params, val_loaders, run_cfg, tokenizer)

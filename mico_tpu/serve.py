@@ -165,7 +165,9 @@ class EmbeddingPipeline:
             )
 
         for i in range(n):
-            chunk.append(futures[i].result())
+            fut = futures[i]
+            futures[i] = None   # release: a Future retains its result array
+            chunk.append(fut.result())
             futures.append(
                 self.pool.submit(proc, paths[next_submit])
                 if next_submit < n else None

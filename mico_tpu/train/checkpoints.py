@@ -150,14 +150,25 @@ def resume_latest(output_dir: str, opt_state_template=None):
         return None, None, 0
     params = load_checkpoint_path(model_path)
     opt_state = None
-    _, opt_path = _latest_step(ckpt_dir, "optimizer")
-    if opt_path and opt_state_template is not None:
-        with np.load(opt_path) as z:
-            leaves = [z[str(i)] for i in range(len(z.files))]
-        treedef = jax.tree_util.tree_structure(opt_state_template)
-        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    if opt_state_template is not None:
+        opt_state = load_latest_opt_state(output_dir, opt_state_template)
     LOGGER.info("resumed from %s (step %d)", model_path, step)
     return params, opt_state, step
+
+
+def load_latest_opt_state(output_dir: str, opt_state_template):
+    """Restore the newest `optimizer_step_*` into the template's tree
+    structure, or None when absent. Split out of resume_latest so callers
+    that must build the optimizer AFTER loading params (run.py: the
+    optimizer's param groups depend on the loaded tree) can restore the
+    moments without re-reading the model checkpoint."""
+    _, opt_path = _latest_step(os.path.join(output_dir, "ckpt"), "optimizer")
+    if not opt_path:
+        return None
+    with np.load(opt_path) as z:
+        leaves = [z[str(i)] for i in range(len(z.files))]
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 # ---------------------------------------------------------------------------

@@ -117,7 +117,13 @@ def build_optimizer(
     labels = param_group_labels(
         params, cfg.new_params_name, cfg.frozen_prefixes
     )
+    # Frozen subtrees must be zeroed BEFORE the global-norm clip: in the
+    # reference they have requires_grad=False and contribute nothing to the
+    # grad norm (general_module.py:204-223), so leaving them in would
+    # systematically downscale the live updates whenever clipping triggers.
+    frozen_mask = jax.tree.map(lambda lab: lab == "frozen", labels)
     return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
         optax.clip_by_global_norm(cfg.grad_norm),
         optax.multi_transform(groups, labels),
     )

@@ -63,6 +63,43 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize(
+    "b,h,lq,lk,d",
+    [
+        (1, 2, 128, 16384, 64),   # 16k context (past MAX_RESIDENT_KV=8192)
+        (1, 1, 64, 9000, 88),     # ragged KV tail + EVA head dim
+        (2, 2, 30, 8224, 64),     # 32-frame (32x257) BERT cross-attn context
+    ],
+)
+def test_flash_kv_tiled_matches_xla(rng, b, h, lq, lk, d):
+    from mico_tpu.ops.flash_attention import _flash_kv_tiled
+
+    q, k, v = _mk(rng, b, h, lq, lk, d)
+    want = xla_attention(q, k, v)
+    got = _flash_kv_tiled(q, k, v, None, float(d) ** -0.5, 128, 1024, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    # the public entry dispatches to the tiled kernel past the cliff
+    got2 = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_flash_kv_tiled_with_padding_mask(rng):
+    b, h, lq, lk, d = 2, 2, 16, 8960, 32
+    q, k, v = _mk(rng, b, h, lq, lk, d)
+    mask = (rng.uniform(size=(b, lk)) > 0.3).astype(np.float32)
+    mask[:, :4] = 1.0
+    bias = jnp.asarray((1.0 - mask) * -10000.0)[:, None, None, :]
+    want = xla_attention(q, k, v, bias=bias)
+    got = flash_attention(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_packed_self_attention_kernel(rng):
     # the packed encoder hot path: (B, L, H*D) projection-layout rows; the
     # actual Mosaic kernel runs here via interpret mode
