@@ -29,6 +29,7 @@ import math
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 
@@ -272,7 +273,11 @@ def _block(
             o = o.transpose(0, 2, 1, 3).reshape(b, l, w)
         if cfg.subln:
             o = layer_norm(o, bp["inner_attn_ln_w"], bp["inner_attn_ln_b"], eps)
-        return linear(o, bp["proj_w"], bp["proj_b"])
+        # remat tag: saving this (0.7 MB/frame/layer) lets a names-based
+        # policy skip re-running qkv+attention+proj in the backward
+        return jax.ad_checkpoint.checkpoint_name(
+            linear(o, bp["proj_w"], bp["proj_b"]), "attn_out"
+        )
 
     def mlp(h):
         if cfg.naiveswiglu:
@@ -328,6 +333,7 @@ def eva_vit_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     attn_impl: str = "auto",
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """pixels (B, 3, H, W) → (B, seq_len, width) if return_all_features,
@@ -399,7 +405,19 @@ def eva_vit_forward(
         xs = (params["blocks"], dp_keys, dp_rates)
 
     if remat:
-        body = jax.checkpoint(body)
+        if remat_policy and remat_policy.startswith("save:"):
+            # e.g. "save:attn_out" — keep only the tagged intermediates
+            names = remat_policy[5:].split(",")
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
+            )
+        elif remat_policy:
+            body = jax.checkpoint(
+                body, policy=getattr(jax.checkpoint_policies, remat_policy)
+            )
+        else:
+            body = jax.checkpoint(body)
 
     x, _ = jax.lax.scan(body, x, xs)
 

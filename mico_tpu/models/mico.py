@@ -138,6 +138,7 @@ def forward_vision_encoder(
             compute_dtype=compute_dtype,
             attn_impl="flash" if cfg.use_flash_attention else "xla",
             remat=cfg.checkpointing if remat is None else remat,
+            remat_policy=cfg.remat_policy,
         )
     elif t.startswith("clip"):
         from mico_tpu.models.clip_vit import clip_vit_forward

@@ -274,6 +274,42 @@ def _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k, interpret):
     )(*args)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret):
+    if k.shape[2] > MAX_RESIDENT_KV:
+        return _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k,
+                               interpret)
+    return _flash(q, k, v, bias, scale, block_q, interpret)
+
+
+def _flash_diff_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    out = _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret)
+    return out, (q, k, v, bias)
+
+
+def _flash_diff_bwd(scale, block_q, block_k, interpret, res, g):
+    """XLA-recompute backward (flash-style: no probability matrix saved).
+    The generic kernel serves BERT self/cross attention — small next to the
+    encoder — so the recompute path is adequate; the encoder hot path has
+    its own Pallas backward (_packed_bwd / _packed_qkv_bwd)."""
+    q, k, v, bias = res
+    from mico_tpu.ops.attention import xla_attention
+
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q, k, v: xla_attention(q, k, v, scale=scale), q, k, v
+        )
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda q, k, v, b: xla_attention(q, k, v, bias=b, scale=scale),
+        q, k, v, bias,
+    )
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -284,16 +320,15 @@ def flash_attention(
     block_k: int = DEFAULT_TK,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """q (B,H,Lq,D); k,v (B,H,Lk,D); bias broadcastable (B|1,H|1,Lq|1,Lk)."""
+    """q (B,H,Lq,D); k,v (B,H,Lk,D); bias broadcastable (B|1,H|1,Lq|1,Lk).
+    Differentiable (custom_vjp; backward recomputes attention in XLA)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if k.shape[2] > MAX_RESIDENT_KV:
-        return _flash_kv_tiled(
-            q, k, v, bias, float(scale), block_q, block_k, interpret
-        )
-    return _flash(q, k, v, bias, float(scale), block_q, interpret)
+    return _flash_diff(
+        q, k, v, bias, float(scale), block_q, block_k, interpret
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -314,6 +349,12 @@ def flash_attention(
 # (1, L, H·D) i/o blocks (double-buffered by the pipeline); the head-group
 # size is derived from what remains of this budget after the i/o blocks.
 _PACKED_VMEM_BUDGET = 14 * 1024 * 1024
+
+# The backward kernel's live set (grouped score/p/dp/ds staging + four i/o
+# blocks) exceeds Mosaic's default 16 MB scoped-vmem cap at production
+# shapes. v5e has 128 MB of physical VMEM (probed on-chip, round 2); give
+# the kernel a third of it.
+_BWD_VMEM_LIMIT = 48 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -437,16 +478,156 @@ def packed_self_attention(q, k, v, num_heads: int, scale: float):
     return _packed_fwd(q, k, v, num_heads, float(scale), False)
 
 
+def _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     nh, d, scale,
+                     q_off=0, k_off=0, v_off=0,
+                     dq_off=0, dk_off=0, dv_off=0):
+    """Flash-style attention backward on packed (B, L, H·D) layout.
+
+    Recomputes the softmax from q/k (no probability matrix was saved), then
+    forms dV = pᵀg, dP = gVᵀ, dS = p∘(dP − rowsum(dP∘p))·scale, dQ = dS·K,
+    dK = dSᵀ·Q — all per head inside VMEM, fp32 accumulation, no HBM
+    materialization of any (L, L) tensor. Replaces the XLA recompute the
+    round-1 review flagged (the reference trains through xformers fwd+bwd,
+    model/evaclip/eva_vit_model.py:325-338)."""
+    prec = _prec_for(k_ref.dtype)
+    s_scale = jnp.float32(scale)
+    io_dtype = q_ref.dtype
+
+    for h in range(nh):
+        qh = q_ref[0][:, q_off + h * d : q_off + (h + 1) * d]
+        kh = k_ref[0][:, k_off + h * d : k_off + (h + 1) * d]
+        vh = v_ref[0][:, v_off + h * d : v_off + (h + 1) * d]
+        gh = g_ref[0][:, h * d : (h + 1) * d]
+
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * s_scale                                        # (L, L) f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)         # (L, L) f32
+        p_c = p.astype(io_dtype)
+
+        dv = jax.lax.dot_general(                          # pᵀ g → (L, D)
+            p_c, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dp = jax.lax.dot_general(                          # g vᵀ → (L, L)
+            gh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)    # (L, 1)
+        ds = (p * (dp - delta) * s_scale).astype(io_dtype)  # (L, L)
+
+        dq = jnp.dot(
+            ds, kh, preferred_element_type=jnp.float32, precision=prec
+        )
+        dk = jax.lax.dot_general(                          # dsᵀ q → (L, D)
+            ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dq_ref[0, :, dq_off + h * d : dq_off + (h + 1) * d] = dq.astype(
+            dq_ref.dtype
+        )
+        dk_ref[0, :, dk_off + h * d : dk_off + (h + 1) * d] = dk.astype(
+            dk_ref.dtype
+        )
+        dv_ref[0, :, dv_off + h * d : dv_off + (h + 1) * d] = dv.astype(
+            dv_ref.dtype
+        )
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                       *, nh, d, scale):
+    _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     nh, d, scale)
+
+
+def _packed_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, nh, d, scale):
+    w = nh * d
+    _packed_bwd_body(qkv_ref, qkv_ref, qkv_ref, g_ref,
+                     dqkv_ref, dqkv_ref, dqkv_ref, nh, d, scale,
+                     q_off=0, k_off=w, v_off=2 * w,
+                     dq_off=0, dk_off=w, dv_off=2 * w)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _packed_bwd(q, k, v, g, num_heads, scale, interpret):
+    b, l, w = q.shape
+    d = w // num_heads
+    kernel = functools.partial(
+        _packed_bwd_kernel, nh=num_heads, d=d, scale=scale
+    )
+    spec = pl.BlockSpec((1, l, w), lambda bi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(3)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * num_heads * l * l * d,
+            bytes_accessed=q.size * 2 * 7,
+            transcendentals=b * num_heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _packed_qkv_bwd(qkv, g, num_heads, scale, interpret):
+    b, l, w3 = qkv.shape
+    w = w3 // 3
+    d = w // num_heads
+    kernel = functools.partial(
+        _packed_qkv_bwd_kernel, nh=num_heads, d=d, scale=scale
+    )
+    qkv_spec = pl.BlockSpec((1, l, w3), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, l, w), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[qkv_spec, g_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * num_heads * l * l * d,
+            bytes_accessed=qkv.size * 2 * 2 + g.size * 2,
+            transcendentals=b * num_heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(qkv, g)
+
+
+# Perf A/B knob (scripts/train_bench.py): False forces the XLA-recompute
+# backward even on TPU.
+PALLAS_BWD = True
+
+
 def _packed_vjp_fwd(q, k, v, num_heads, scale):
     return packed_self_attention(q, k, v, num_heads, scale), (q, k, v)
 
 
 def _packed_vjp_bwd(num_heads, scale, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _packed_reference(q, k, v, num_heads, scale), q, k, v
-    )
-    return vjp(g)
+    if (not PALLAS_BWD or jax.default_backend() != "tpu"
+            or q.dtype != jnp.bfloat16):
+        _, vjp = jax.vjp(
+            lambda q, k, v: _packed_reference(q, k, v, num_heads, scale),
+            q, k, v,
+        )
+        return vjp(g)
+    return _packed_bwd(q, k, v, g, num_heads, float(scale), False)
 
 
 packed_self_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
@@ -512,10 +693,13 @@ def _packed_qkv_vjp_fwd(qkv, num_heads, scale):
 
 def _packed_qkv_vjp_bwd(num_heads, scale, res, g):
     (qkv,) = res
-    _, vjp = jax.vjp(
-        lambda t: _packed_qkv_reference(t, num_heads, scale), qkv
-    )
-    return vjp(g)
+    if (not PALLAS_BWD or jax.default_backend() != "tpu"
+            or qkv.dtype != jnp.bfloat16):
+        _, vjp = jax.vjp(
+            lambda t: _packed_qkv_reference(t, num_heads, scale), qkv
+        )
+        return vjp(g)
+    return (_packed_qkv_bwd(qkv, g, num_heads, float(scale), False),)
 
 
 packed_qkv_self_attention.defvjp(_packed_qkv_vjp_fwd, _packed_qkv_vjp_bwd)

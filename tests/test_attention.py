@@ -140,6 +140,40 @@ def test_packed_self_attention_grads(rng):
         )
 
 
+def test_packed_bwd_pallas_kernel(rng):
+    """The Pallas backward kernels themselves (interpret mode) vs the XLA
+    vjp of the identical-math reference."""
+    from mico_tpu.ops.flash_attention import (
+        _packed_bwd,
+        _packed_qkv_bwd,
+        _packed_qkv_reference,
+        _packed_reference,
+    )
+
+    b, l, nh, d = 2, 257, 4, 88
+    scale = d**-0.5
+    q, k, v, g = (
+        jnp.asarray(rng.standard_normal((b, l, nh * d)), jnp.float32)
+        for _ in range(4)
+    )
+    _, vjp = jax.vjp(lambda q, k, v: _packed_reference(q, k, v, nh, scale),
+                     q, k, v)
+    want = vjp(g)
+    got = _packed_bwd(q, k, v, g, nh, scale, True)
+    for gi, wi in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(gi), np.asarray(wi), rtol=2e-4, atol=2e-4
+        )
+
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    _, vjp2 = jax.vjp(lambda t: _packed_qkv_reference(t, nh, scale), qkv)
+    (want2,) = vjp2(g)
+    got2 = _packed_qkv_bwd(qkv, g, nh, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want2), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_packed_qkv_kernel(rng):
     from mico_tpu.ops.flash_attention import (
         _packed_qkv_fwd,
