@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from mico_tpu.config import BertConfig
 from mico_tpu.ops.attention import multi_head_attention
-from mico_tpu.ops.layers import gelu, layer_norm, linear
+from mico_tpu.ops.layers import dropout, gelu, layer_norm, linear
 
 MASK_VALUE = -10000.0
 
@@ -103,6 +103,7 @@ def bert_embeddings(
     position_ids: Optional[jnp.ndarray] = None,
     token_type_ids: Optional[jnp.ndarray] = None,
     compute_dtype: jnp.dtype = jnp.float32,
+    train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     b, l = input_ids.shape
     if position_ids is None:
@@ -114,6 +115,8 @@ def bert_embeddings(
     else:
         x = x + jnp.take(params["token_type"], token_type_ids, axis=0)
     x = layer_norm(x, params["ln_w"], params["ln_b"], cfg.layer_norm_eps)
+    # training: embedding dropout after LN (model/bert.py:93,147)
+    x = dropout(train_rng, cfg.hidden_dropout_prob, x)
     return x.astype(compute_dtype)
 
 
@@ -127,19 +130,29 @@ def _attn_sublayer(
     out_prefix: str,
     ln_prefix: str,
     attn_impl: str,
+    train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     b, lq, h = x.shape
     lk = kv.shape[1]
     nh, hd = cfg.num_attention_heads, cfg.head_dim
+    probs_rng = out_rng = None
+    if train_rng is not None:
+        probs_rng, out_rng = jax.random.split(train_rng)
     q = linear(x, lp[f"{prefix}q_w"], lp[f"{prefix}q_b"])
     k = linear(kv, lp[f"{prefix}k_w"], lp[f"{prefix}k_b"])
     v = linear(kv, lp[f"{prefix}v_w"], lp[f"{prefix}v_b"])
     q = q.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
-    o = multi_head_attention(q, k, v, bias=bias, scale=hd**-0.5, impl=attn_impl)
+    o = multi_head_attention(
+        q, k, v, bias=bias, scale=hd**-0.5, impl=attn_impl,
+        dropout_rng=probs_rng,
+        dropout_rate=cfg.attention_probs_dropout_prob,
+    )
     o = o.transpose(0, 2, 1, 3).reshape(b, lq, h)
     o = linear(o, lp[f"{out_prefix}_w"], lp[f"{out_prefix}_b"])
+    # training: output dropout before the residual+LN (model/bert.py:291,369)
+    o = dropout(out_rng, cfg.hidden_dropout_prob, o)
     return layer_norm(
         x + o, lp[f"{ln_prefix}_w"], lp[f"{ln_prefix}_b"], cfg.layer_norm_eps
     )
@@ -154,28 +167,41 @@ def bert_encoder(
     cross_bias: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     has_cross = encoder_hidden_states is not None
 
-    def body(x, lp):
+    def body(x, xs):
+        lp, key = xs
+        k_self = k_cross = k_ffn = None
+        if key is not None:
+            k_self, k_cross, k_ffn = jax.random.split(key, 3)
         x = _attn_sublayer(
-            x, x, lp, cfg, self_bias, "", "attn_out", "attn_ln", attn_impl
+            x, x, lp, cfg, self_bias, "", "attn_out", "attn_ln", attn_impl,
+            train_rng=k_self,
         )
         if has_cross:
             x = _attn_sublayer(
                 x, encoder_hidden_states.astype(x.dtype), lp, cfg,
                 cross_bias, "x", "x_out", "x_ln", attn_impl,
+                train_rng=k_cross,
             )
         y = gelu(linear(x, lp["inter_w"], lp["inter_b"]))
         y = linear(y, lp["out_w"], lp["out_b"])
+        # training: FFN output dropout before residual+LN (model/bert.py:369)
+        y = dropout(k_ffn, cfg.hidden_dropout_prob, y)
         x = layer_norm(
             x + y, lp["out_ln_w"], lp["out_ln_b"], cfg.layer_norm_eps
         )
         return x, None
 
+    layer_keys = (
+        None if train_rng is None
+        else jax.random.split(train_rng, cfg.num_hidden_layers)
+    )
     if remat:
         body = jax.checkpoint(body)
-    out, _ = jax.lax.scan(body, hidden, params["layers"])
+    out, _ = jax.lax.scan(body, hidden, (params["layers"], layer_keys))
     return out
 
 
@@ -210,20 +236,30 @@ def bert_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     with_logits: bool = False,
+    train_rng: Optional[jax.Array] = None,
 ) -> BertOutput:
     """The `BertForMaskedLM.forward` equivalent
-    (model/bert.py:1047-1097; returns loss/logits/sequence_output)."""
+    (model/bert.py:1047-1097; returns loss/logits/sequence_output).
+
+    train_rng: when given, training-time dropout runs — hidden dropout 0.1
+    on embeddings / attention outputs / FFN outputs and attention-probs
+    dropout 0.1, matching the reference config
+    (model/bert-base-uncased-crossattn/config.json:7,11 and
+    model/bert.py:93,169,291,369). None = eval, exact no-dropout parity."""
     self_bias = extended_attention_mask(attention_mask)
     cross_bias = None
     if encoder_hidden_states is not None and encoder_attention_mask is not None:
         cross_bias = extended_attention_mask(encoder_attention_mask)
+    k_emb = k_enc = None
+    if train_rng is not None:
+        k_emb, k_enc = jax.random.split(train_rng)
     hidden = bert_embeddings(
         params["embeddings"], cfg, input_ids, position_ids, token_type_ids,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, train_rng=k_emb,
     )
     seq = bert_encoder(
         params, cfg, hidden, self_bias, encoder_hidden_states, cross_bias,
-        attn_impl=attn_impl, remat=remat,
+        attn_impl=attn_impl, remat=remat, train_rng=k_enc,
     )
     logits = None
     loss = None

@@ -121,10 +121,14 @@ def _init_audio_tower(key, cfg: MiCoConfig):
 
 
 def forward_vision_encoder(
-    params: dict, cfg: MiCoConfig, pixels: jnp.ndarray, remat: Optional[bool] = None
+    params: dict, cfg: MiCoConfig, pixels: jnp.ndarray,
+    remat: Optional[bool] = None, train_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(b, n, 3, h, w) → (b, n, seq, vision_dim): frames folded into the batch
-    for one big MXU-friendly ViT pass (model/mico.py:115-137)."""
+    for one big MXU-friendly ViT pass (model/mico.py:115-137).
+
+    train_rng activates the EVA training regularizers (DropPath schedule up
+    to cfg drop_path_rate — 0.4 for ViT-g — and PatchDropout if configured)."""
     b, n = pixels.shape[:2]
     flat = pixels.reshape(b * n, *pixels.shape[2:])
     _, compute_dtype = cfg.dtypes()
@@ -139,6 +143,7 @@ def forward_vision_encoder(
             attn_impl="flash" if cfg.use_flash_attention else "xla",
             remat=cfg.checkpointing if remat is None else remat,
             remat_policy=cfg.remat_policy,
+            train_rng=train_rng,
         )
     elif t.startswith("clip"):
         from mico_tpu.models.clip_vit import clip_vit_forward
@@ -172,7 +177,8 @@ def forward_vision_encoder(
 
 
 def forward_audio_encoder(
-    params: dict, cfg: MiCoConfig, spectrograms: jnp.ndarray
+    params: dict, cfg: MiCoConfig, spectrograms: jnp.ndarray,
+    train_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(b, n, T, M) fbank slices → per-slice token sequences (b, n, x, C).
 
@@ -181,7 +187,7 @@ def forward_audio_encoder(
     ast transposes to (M, T) first)."""
     if cfg.audio_encoder_type == "shared":
         x = jnp.repeat(spectrograms[:, :, None, :, :], 3, axis=2)
-        return forward_vision_encoder(params, cfg, x)
+        return forward_vision_encoder(params, cfg, x, train_rng=train_rng)
     _, compute_dtype = cfg.dtypes()
     b, n = spectrograms.shape[:2]
     flat = spectrograms.reshape(b * n, *spectrograms.shape[2:])
@@ -203,9 +209,11 @@ def forward_audio_encoder(
 
 
 def forward_depth_encoder(
-    params: dict, cfg: MiCoConfig, depth_pixels: jnp.ndarray
+    params: dict, cfg: MiCoConfig, depth_pixels: jnp.ndarray,
+    train_rng: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    return forward_vision_encoder(params, cfg, depth_pixels)
+    return forward_vision_encoder(params, cfg, depth_pixels,
+                                  train_rng=train_rng)
 
 
 def forward_multimodal_encoder(
@@ -216,6 +224,7 @@ def forward_multimodal_encoder(
     condition_feat: Optional[jnp.ndarray] = None,
     labels: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
+    train_rng: Optional[jnp.ndarray] = None,
 ) -> bert_mod.BertOutput:
     _, compute_dtype = cfg.dtypes()
     return bert_mod.bert_forward(
@@ -229,6 +238,7 @@ def forward_multimodal_encoder(
         compute_dtype=compute_dtype,
         attn_impl="flash" if cfg.use_flash_attention else "xla",
         remat=cfg.checkpointing,
+        train_rng=train_rng,
     )
 
 

@@ -29,7 +29,12 @@ def xla_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
+    """dropout_rng/dropout_rate: training-time attention-probs dropout
+    (reference BertSelfAttention, model/bert.py:169,291 — probs are dropped
+    AFTER the softmax, torch semantics)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     scores = jnp.einsum(
@@ -43,6 +48,10 @@ def xla_attention(
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        from mico_tpu.ops.layers import dropout
+
+        probs = dropout(dropout_rng, dropout_rate, probs)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd",
         probs.astype(v.dtype),
@@ -60,8 +69,17 @@ def multi_head_attention(
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> jnp.ndarray:
-    """impl: 'auto' | 'xla' | 'flash'. 'auto' picks flash on TPU."""
+    """impl: 'auto' | 'xla' | 'flash'. 'auto' picks flash on TPU. With
+    attention-probs dropout active (training), the XLA path is used — the
+    flash kernel never materializes probabilities to drop."""
+    if dropout_rng is not None and dropout_rate > 0.0:
+        return xla_attention(
+            q, k, v, bias=bias, scale=scale,
+            dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+        )
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "flash":

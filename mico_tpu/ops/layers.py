@@ -46,6 +46,16 @@ def layer_norm(
     return y
 
 
+def dropout(rng: Optional[jax.Array], rate: float, x: jnp.ndarray) -> jnp.ndarray:
+    """Inverted dropout (torch semantics: scale by 1/keep at train time).
+    Identity when rng is None (eval) or rate is 0."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x))
+
+
 def linear(
     x: jnp.ndarray,
     weight: jnp.ndarray,

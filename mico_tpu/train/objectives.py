@@ -51,6 +51,7 @@ def compute_features(
     cfg: MiCoConfig,
     batch: Dict[str, jnp.ndarray],
     modalities: str,
+    train_rng: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Compute encoder outputs, pooled contra features, and condition feats
     for the given fused-modality string ('v', 'a', 'va', 'vs', 'vas', ...).
@@ -58,12 +59,21 @@ def compute_features(
     batch keys (all device arrays):
       vision_pixels (b,n,3,h,w), audio_spectrograms (b,n,T,M),
       caption_ids/caption_mask (b,L), subtitle_ids/subtitle_mask (b,L)
+
+    train_rng (training only) activates the encoders' stochastic
+    regularizers: EVA DropPath/PatchDropout and BERT dropout 0.1.
     """
     out: Dict[str, jnp.ndarray] = {}
     pooled = {}
+    ks = {}
+    if train_rng is not None:
+        keys = jax.random.split(train_rng, 4)
+        ks = dict(zip("vads", keys))
 
     if "v" in modalities or "i" in modalities:
-        vis = mico_mod.forward_vision_encoder(params, cfg, batch["vision_pixels"])
+        vis = mico_mod.forward_vision_encoder(
+            params, cfg, batch["vision_pixels"], train_rng=ks.get("v")
+        )
         feat = mico_mod.pool_vision_for_contra(cfg, vis)
         cond = mico_mod.get_multimodal_forward_input_vision(params, cfg, vis)
         # 'i' is MiCo's image alias for the fused image+depth ('id') head
@@ -73,7 +83,7 @@ def compute_features(
                 out[f"condition_feats_{m}"] = cond
     if "a" in modalities:
         aud = mico_mod.forward_audio_encoder(
-            params, cfg, batch["audio_spectrograms"]
+            params, cfg, batch["audio_spectrograms"], train_rng=ks.get("a")
         )
         pooled["a"] = mico_mod.pool_audio_for_contra(cfg, aud)
         out["condition_feats_a"] = mico_mod.get_multimodal_forward_input_audio(
@@ -83,14 +93,17 @@ def compute_features(
         # depth maps as 3-channel pixels through the shared encoder
         # (model/mico.py:145-148; MiCo's I+V+A+D omni-modal recipe — VAST
         # itself has no depth branch, the 'id' fused head is MiCo's)
-        dep = mico_mod.forward_depth_encoder(params, cfg, batch["depth_pixels"])
+        dep = mico_mod.forward_depth_encoder(
+            params, cfg, batch["depth_pixels"], train_rng=ks.get("d")
+        )
         pooled["d"] = mico_mod.pool_depth_for_contra(cfg, dep)
         out["condition_feats_d"] = mico_mod.get_multimodal_forward_input_depth(
             params, cfg, dep
         )
     if "s" in modalities:
         sub = mico_mod.forward_multimodal_encoder(
-            params, cfg, batch["subtitle_ids"], batch["subtitle_mask"]
+            params, cfg, batch["subtitle_ids"], batch["subtitle_mask"],
+            train_rng=ks.get("s"),
         ).sequence_output
         pooled["s"] = mico_mod.pool_text_for_contra(sub)
         out["condition_feats_s"] = mico_mod.get_multimodal_forward_input_subtitle(
@@ -128,9 +141,9 @@ def compute_features(
 
 
 def compute_text_feature(params, cfg, batch, ids_key="caption_ids",
-                         mask_key="caption_mask"):
+                         mask_key="caption_mask", train_rng=None):
     seq = mico_mod.forward_multimodal_encoder(
-        params, cfg, batch[ids_key], batch[mask_key]
+        params, cfg, batch[ids_key], batch[mask_key], train_rng=train_rng
     ).sequence_output
     feat = mico_mod.contra_head(
         params["contra_head_t"], mico_mod.pool_text_for_contra(seq)
@@ -220,7 +233,7 @@ def itm_loss(
         diag = cols == (rank * bs + jnp.arange(bs)[:, None])
         return jnp.where(diag, 0.0, w)
 
-    k1, k2 = jax.random.split(rng)
+    k1, k2, k_drop = jax.random.split(rng, 3)
     neg_cond_idx = jax.random.categorical(
         k1, jnp.log(neg_weights(sim_t2cond)), axis=1
     )
@@ -237,7 +250,7 @@ def itm_loss(
     cond_3 = jnp.concatenate([condition_feats, cond_neg, condition_feats], axis=0)
 
     seq = mico_mod.forward_multimodal_encoder(
-        params, cfg, ids_3, mask_3, cond_3
+        params, cfg, ids_3, mask_3, cond_3, train_rng=k_drop
     ).sequence_output
     logits = mico_mod.itm_head(params, seq[:, 0])
     labels = jnp.concatenate(
@@ -305,10 +318,12 @@ def caption_loss(
     attention_mask: jnp.ndarray,
     mask_prob: float = 0.6,
 ):
-    masked_ids, labels = mask_tokens(rng, input_ids, mask_prob)
+    k_mask, k_drop = jax.random.split(rng)
+    masked_ids, labels = mask_tokens(k_mask, input_ids, mask_prob)
     mask3d = causal_3d_mask(attention_mask)
     out = mico_mod.forward_multimodal_encoder(
-        params, cfg, masked_ids, mask3d, condition_feats, labels=labels
+        params, cfg, masked_ids, mask3d, condition_feats, labels=labels,
+        train_rng=k_drop,
     )
     return out.loss
 
@@ -324,14 +339,16 @@ def qa_loss(
     answer_mask: jnp.ndarray,
     mask_prob: float = 0.99,
 ):
-    masked_ans, ans_labels = mask_tokens(rng, answer_ids, mask_prob)
+    k_mask, k_drop = jax.random.split(rng)
+    masked_ans, ans_labels = mask_tokens(k_mask, answer_ids, mask_prob)
     ids = jnp.concatenate([question_ids, masked_ans], axis=1)
     labels = jnp.concatenate(
         [jnp.full_like(question_ids, -100), ans_labels], axis=1
     )
     mask3d = part_causal_3d_mask(question_mask, answer_mask)
     out = mico_mod.forward_multimodal_encoder(
-        params, cfg, ids, mask3d, condition_feats, labels=labels
+        params, cfg, ids, mask3d, condition_feats, labels=labels,
+        train_rng=k_drop,
     )
     return out.loss
 
@@ -358,7 +375,10 @@ def task_losses(
         feats = {}
         for g in groups:
             mods = g[1:]  # strip leading 't'
-            feats.update(compute_features(params, cfg, batch, mods))
+            rng, k = jax.random.split(rng)
+            feats.update(
+                compute_features(params, cfg, batch, mods, train_rng=k)
+            )
 
         if kind == "ret":
             itc, itm = [], []
@@ -368,9 +388,10 @@ def task_losses(
                 cap_ids, cap_mask = caption_stream_for(batch, mods)
                 ck = id(cap_ids)
                 if ck not in feat_t_cache:
+                    rng, kt = jax.random.split(rng)
                     feat_t_cache[ck] = compute_text_feature(
                         params, cfg, {"ids": cap_ids, "mask": cap_mask},
-                        ids_key="ids", mask_key="mask",
+                        ids_key="ids", mask_key="mask", train_rng=kt,
                     )
                 feat_t = feat_t_cache[ck]
                 rng, k = jax.random.split(rng)

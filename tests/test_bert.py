@@ -123,3 +123,56 @@ def test_extended_mask_values():
     assert float(e[0, 0, 0, 2]) == -10000.0
     m3 = jnp.asarray(np.tril(np.ones((4, 4)))[None])
     assert extended_attention_mask(m3).shape == (1, 1, 4, 4)
+
+
+def test_dropout_contract(rng, params):
+    """Training dropout (reference model/bert.py:93,169,291,369 + config
+    hidden/attention dropout 0.1): rng-on changes outputs stochastically,
+    same rng is deterministic, rng=None (eval) is exactly the no-dropout
+    forward the goldens above certify."""
+    import jax
+
+    ids, mask = _tokens(rng, 2, 12)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    cond = jnp.asarray(rng.standard_normal((2, 7, CFG.encoder_width)), jnp.float32)
+
+    eval1 = bert_forward(params, CFG, ids, mask, cond).sequence_output
+    eval2 = bert_forward(params, CFG, ids, mask, cond).sequence_output
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+
+    k1, k2 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    tr1 = bert_forward(params, CFG, ids, mask, cond, train_rng=k1).sequence_output
+    tr1b = bert_forward(params, CFG, ids, mask, cond, train_rng=k1).sequence_output
+    tr2 = bert_forward(params, CFG, ids, mask, cond, train_rng=k2).sequence_output
+    np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr1b))
+    assert np.abs(np.asarray(tr1) - np.asarray(eval1)).max() > 1e-4
+    assert np.abs(np.asarray(tr1) - np.asarray(tr2)).max() > 1e-4
+
+    # dropout-off config: train_rng present but rates 0 → identical to eval
+    import dataclasses
+    cfg0 = dataclasses.replace(
+        CFG, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0
+    )
+    tr0 = bert_forward(params, cfg0, ids, mask, cond, train_rng=k1).sequence_output
+    np.testing.assert_allclose(
+        np.asarray(tr0), np.asarray(eval1), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_dropout_magnitude(rng, params):
+    """Inverted-dropout scaling: train-mode activations stay on the eval
+    scale (means within a loose band), i.e. 1/keep compensation applied."""
+    import jax
+
+    ids, mask = _tokens(rng, 4, 16)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    ev = np.asarray(
+        bert_forward(params, CFG, ids, mask).sequence_output, np.float32
+    )
+    tr = np.asarray(
+        bert_forward(
+            params, CFG, ids, mask, train_rng=jax.random.PRNGKey(7)
+        ).sequence_output,
+        np.float32,
+    )
+    assert 0.5 < np.abs(tr).mean() / np.abs(ev).mean() < 2.0
