@@ -471,7 +471,11 @@ def packed_self_attention(q, k, v, num_heads: int, scale: float):
     Returns (B, L, H·D) in the same layout, ready for the output projection.
     Differentiable: backward recomputes attention in XLA (flash-style; no
     probability matrix is saved)."""
-    if jax.default_backend() != "tpu" or q.dtype != jnp.bfloat16:
+    if jax.default_backend() != "tpu":
+        if FORCE_KERNEL_INTERPRET:
+            return _packed_fwd(q, k, v, num_heads, float(scale), True)
+        return _packed_reference(q, k, v, num_heads, scale)
+    if q.dtype != jnp.bfloat16:
         # fp32 runs are parity/debug only; their double-buffered i/o blocks
         # alone exceed VMEM at ViT-g shape, so use the identical-math XLA path
         return _packed_reference(q, k, v, num_heads, scale)
@@ -613,6 +617,12 @@ def _packed_qkv_bwd(qkv, g, num_heads, scale, interpret):
 # backward even on TPU.
 PALLAS_BWD = True
 
+# Dryrun certification knob (__graft_entry__.dryrun_multichip): run the
+# Mosaic kernels through the Pallas interpreter on non-TPU backends instead
+# of the XLA-reference fallback, so the CPU-mesh dryrun executes the exact
+# kernel code a real pod would.
+FORCE_KERNEL_INTERPRET = False
+
 
 def _packed_vjp_fwd(q, k, v, num_heads, scale):
     return packed_self_attention(q, k, v, num_heads, scale), (q, k, v)
@@ -620,8 +630,10 @@ def _packed_vjp_fwd(q, k, v, num_heads, scale):
 
 def _packed_vjp_bwd(num_heads, scale, res, g):
     q, k, v = res
-    if (not PALLAS_BWD or jax.default_backend() != "tpu"
-            or q.dtype != jnp.bfloat16):
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and FORCE_KERNEL_INTERPRET:
+        return _packed_bwd(q, k, v, g, num_heads, float(scale), True)
+    if not PALLAS_BWD or not on_tpu or q.dtype != jnp.bfloat16:
         _, vjp = jax.vjp(
             lambda q, k, v: _packed_reference(q, k, v, num_heads, scale),
             q, k, v,
@@ -682,7 +694,11 @@ def packed_qkv_self_attention(qkv, num_heads: int, scale: float):
     qkv: (B, L, 3·H·D) exactly as the fused qkv matmul emits it — the kernel
     lane-slices q/k/v per head in VMEM, so no split/copy ever touches HBM.
     Returns (B, L, H·D). Differentiable via XLA recompute."""
-    if jax.default_backend() != "tpu" or qkv.dtype != jnp.bfloat16:
+    if jax.default_backend() != "tpu":
+        if FORCE_KERNEL_INTERPRET:
+            return _packed_qkv_fwd(qkv, num_heads, float(scale), True)
+        return _packed_qkv_reference(qkv, num_heads, scale)
+    if qkv.dtype != jnp.bfloat16:
         return _packed_qkv_reference(qkv, num_heads, scale)
     return _packed_qkv_fwd(qkv, num_heads, float(scale), False)
 
@@ -693,8 +709,10 @@ def _packed_qkv_vjp_fwd(qkv, num_heads, scale):
 
 def _packed_qkv_vjp_bwd(num_heads, scale, res, g):
     (qkv,) = res
-    if (not PALLAS_BWD or jax.default_backend() != "tpu"
-            or qkv.dtype != jnp.bfloat16):
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and FORCE_KERNEL_INTERPRET:
+        return (_packed_qkv_bwd(qkv, g, num_heads, float(scale), True),)
+    if not PALLAS_BWD or not on_tpu or qkv.dtype != jnp.bfloat16:
         _, vjp = jax.vjp(
             lambda t: _packed_qkv_reference(t, num_heads, scale), qkv
         )
