@@ -237,6 +237,11 @@ class MiCoConfig:
     # outputs and recomputes only elementwise ops — ~25% less recompute at
     # ~4 MB/frame/layer of extra activation memory.
     remat_policy: Optional[str] = None
+    # GPipe pipeline parallelism for the shared ViT stack over the `model`
+    # mesh axis (run_cfg.pipeline_stages; beyond-reference headroom). >1
+    # requires an ambient mesh whose `model` axis equals this value.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 2
     # retrieval eval: ITM-rerank the top-N ITC candidates per query, both
     # directions when ret_bidirection_evaluation
     # (reference default_model_cfg.json itm_rerank_num/ret_bidirection)

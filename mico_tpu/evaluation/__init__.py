@@ -50,6 +50,12 @@ class Evaluator:
     """Jit-cached eval step functions over a fixed MiCoConfig + params."""
 
     def __init__(self, cfg: MiCoConfig, params, tokenizer, run_cfg=None):
+        if cfg.pipeline_stages > 1:
+            # PP is a training-memory tool; eval jits have no ambient mesh
+            # and single-pass inference gains nothing from staging
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, pipeline_stages=1)
         self.cfg = cfg
         self.params = params
         self.tok = tokenizer

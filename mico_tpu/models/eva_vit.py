@@ -335,6 +335,8 @@ def eva_vit_forward(
     remat: bool = False,
     remat_policy: Optional[str] = None,
     train_rng: Optional[jax.Array] = None,
+    pipeline_stages: int = 1,
+    pipeline_microbatches: int = 2,
 ) -> jnp.ndarray:
     """pixels (B, 3, H, W) → (B, seq_len, width) if return_all_features,
     else pooled (B, width) per reference semantics (eva_vit_model.py:611-650).
@@ -419,7 +421,29 @@ def eva_vit_forward(
         else:
             body = jax.checkpoint(body)
 
-    x, _ = jax.lax.scan(body, x, xs)
+    if pipeline_stages > 1:
+        # GPipe over the `model` mesh axis (mico_tpu/parallel/
+        # pipeline_parallel.py): each stage owns layers/stages blocks,
+        # microbatches march with ppermute hops; batch stays sharded over
+        # `data` (DP x PP). Requires an ambient mesh
+        # (jax.sharding.set_mesh) with a `model` axis of this size.
+        from mico_tpu.parallel.pipeline_parallel import pipelined
+
+        assert cfg.layers % pipeline_stages == 0, (
+            f"layers {cfg.layers} not divisible by stages {pipeline_stages}"
+        )
+
+        def layer_fn(stage_xs, h):
+            out, _ = jax.lax.scan(body, h, stage_xs)
+            return out
+
+        run = pipelined(
+            layer_fn, mesh=None, axis="model",
+            n_micro=pipeline_microbatches, data_axis="data",
+        )
+        x = run(xs, x)
+    else:
+        x, _ = jax.lax.scan(body, x, xs)
 
     if not cfg.global_average_pool:
         x = layer_norm(x, params["norm_w"], params["norm_b"], cfg.ln_eps)

@@ -144,6 +144,8 @@ def forward_vision_encoder(
             remat=cfg.checkpointing if remat is None else remat,
             remat_policy=cfg.remat_policy,
             train_rng=train_rng,
+            pipeline_stages=cfg.pipeline_stages,
+            pipeline_microbatches=cfg.pipeline_microbatches,
         )
     elif t.startswith("clip"):
         from mico_tpu.models.clip_vit import clip_vit_forward

@@ -79,17 +79,26 @@ def pipeline_apply(
 
 def pipelined(
     layer_fn: Callable,
-    mesh: Mesh,
+    mesh: Mesh = None,
     axis: str = "model",
     n_micro: int = 2,
+    data_axis: str = None,
 ):
     """Build f(stacked_layer_params, x) running `layer_fn` as an `axis`-way
     pipeline over microbatches of the leading batch dim.
 
     stacked_layer_params: leaves lead with the TOTAL layer count (divisible
     by the stage count); x: (batch, ...) with batch divisible by n_micro.
-    Differentiable end to end."""
+    Differentiable end to end.
+
+    mesh=None uses the ambient mesh (`jax.sharding.set_mesh`) — how the
+    runtime integration calls it from inside the jitted train step.
+    data_axis: keep the batch dim sharded over this mesh axis (DP x PP);
+    None replicates the batch across the pipeline group."""
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
     n_stages = mesh.shape[axis]
+    x_spec = P(data_axis) if data_axis else P()
 
     def split_layers(p):
         return jax.tree.map(
@@ -102,8 +111,8 @@ def pipelined(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), x_spec),
+        out_specs=x_spec,
         check_rep=False,
     )
     def run(stage_params, x):

@@ -97,7 +97,16 @@ def train(
                 )
             arrays = shard_batch(mesh, arrays)
         rng, sub = jax.random.split(rng)
-        params, opt_state, losses = step_fns[task](params, opt_state, arrays, sub)
+        if mesh is not None:
+            # ambient mesh for mesh-aware model internals (the PP shard_map)
+            with jax.sharding.set_mesh(mesh):
+                params, opt_state, losses = step_fns[task](
+                    params, opt_state, arrays, sub
+                )
+        else:
+            params, opt_state, losses = step_fns[task](
+                params, opt_state, arrays, sub
+            )
         global_step += 1
 
         for k, v in losses.items():

@@ -93,9 +93,18 @@ def main(argv=None):
     vocab = args.get("_vocab") or run_cfg.get("vocab") or DEFAULT_VOCAB
     tokenizer = BertWordPieceTokenizer(vocab)
 
-    mesh = create_mesh(
-        data=-1, model=int(run_cfg.get("model_parallel", 1))
-    )
+    # pipeline_stages>1 runs the ViT stack as a GPipe pipeline over the
+    # `model` mesh axis (the same axis tensor parallelism uses; pick one)
+    pp = int(run_cfg.get("pipeline_stages", 1))
+    model_par = int(run_cfg.get("model_parallel", 1))
+    if pp > 1:
+        model_cfg["pipeline_stages"] = pp
+        if run_cfg.get("pipeline_microbatches"):
+            model_cfg["pipeline_microbatches"] = int(
+                run_cfg["pipeline_microbatches"]
+            )
+        model_par = pp
+    mesh = create_mesh(data=-1, model=model_par)
     LOGGER.info("mesh: %s over %d devices", mesh.shape, len(jax.devices()))
 
     meta_loader = create_train_dataloaders(args)
@@ -162,6 +171,10 @@ def main(argv=None):
                 opt_state = restored
         params, opt_state = shard_train_state(
             mesh, params, opt_state,
+            # under PP the `model` axis carries pipeline stages, not
+            # Megatron TP shards: keep params replicated and let the
+            # pipeline shard_map slice the stacked layer axis locally
+            model_axis=None if pp > 1 else "model",
             zero1=bool(run_cfg.get("zero1", False)),
         )
         if run_cfg.get("first_eval") and val_loaders:

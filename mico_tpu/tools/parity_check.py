@@ -79,6 +79,11 @@ def main(argv=None):
     ap.add_argument("--image", default=None)
     ap.add_argument("--audio", default=None)
     ap.add_argument("--video", default=None)
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="our stack's compute/param dtype; bfloat16 compares "
+                         "the DEPLOYED precision (what bench.py runs) against "
+                         "the fp32 torch reference")
     args = ap.parse_args(argv)
     image = args.image or f"{args.reference}/example/test.jpeg"
     audio = args.audio or f"{args.reference}/example/test.flac"
@@ -109,10 +114,21 @@ def main(argv=None):
 
     ref, opts = _reference_model(args.reference, checkpoint)
     sd = ref.state_dict()
-    cfg = mico_config_from_dict(dict(opts))
+    model_cfg = dict(opts)
+    model_cfg["compute_dtype"] = args.dtype
+    cfg = mico_config_from_dict(model_cfg)
     ours = MiCoModel.from_pretrained(cfg, sd)
 
+    import jax
     import jax.numpy as jnp
+
+    if args.dtype == "bfloat16":
+        # deployed-precision run: params cast like bench.py does
+        ours.params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            ours.params,
+        )
 
     results = {}
 

@@ -345,3 +345,17 @@ def test_qa_submission_dump(tmp_path):
     assert out["num_submitted"] == 2.0
     subm = json.load(open(sub_path))
     assert len(subm) == 2 and set(subm[0]) == {"question_id", "answer"}
+
+
+def test_cli_train_pipeline_stages(cli_corpus, tmp_path):
+    """run_cfg.pipeline_stages=2: the ViT trunk trains as a 2-stage GPipe
+    pipeline over the model mesh axis (round-2 VERDICT item 7); the run
+    completes, checkpoints, and evaluates like the unpipelined CLI case."""
+    from mico_tpu.run import main
+
+    root, cfg_path = cli_corpus
+    out_dir = str(tmp_path / "out_pp")
+    main(["--config", str(cfg_path), "--output_dir", out_dir,
+          "--vocab", VOCAB, "run_cfg.pipeline_stages=2"])
+    ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
+    assert any(c.startswith("model_step_2") for c in ckpts)

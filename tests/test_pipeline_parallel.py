@@ -97,3 +97,85 @@ def test_pipeline_on_eva_vit_blocks():
     got = layer_norm(h, params["norm_w"], params["norm_b"], cfg.ln_eps)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_eva_vit_forward_pipeline_stages_flag():
+    """Runtime wiring (round-2 VERDICT item 7): eva_vit_forward's
+    pipeline_stages>1 path — the one cfg.pipeline_stages drives — matches
+    the sequential scan under an ambient dp x pp mesh."""
+    from mico_tpu.config import EvaVitConfig
+    from mico_tpu.models.eva_vit import eva_vit_forward, init_eva_vit
+    from mico_tpu.parallel.mesh import create_mesh
+
+    cfg = EvaVitConfig(image_size=28, patch_size=14, layers=4, width=32,
+                       head_width=16, mlp_ratio=4.0, embed_dim=16)
+    params = init_eva_vit(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, 3, 28, 28)), jnp.float32)
+    want = eva_vit_forward(params, cfg, x)
+
+    mesh = create_mesh(data=4, model=2)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(
+            lambda p, x: eva_vit_forward(
+                p, cfg, x, pipeline_stages=2, pipeline_microbatches=2
+            )
+        )(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_train_step_pipeline_equivalence():
+    """Full train step with cfg.pipeline_stages=2 over the CPU mesh
+    produces the same losses as the unpipelined step (same rng)."""
+    from mico_tpu.config import BertConfig, EvaVitConfig, MiCoConfig
+    from mico_tpu.models.mico import init_mico
+    from mico_tpu.parallel.mesh import create_mesh
+    from mico_tpu.train.optim import OptimConfig, build_optimizer
+    from mico_tpu.train.train_step import make_train_step, shard_batch
+
+    def mk_cfg(pp):
+        return MiCoConfig(
+            eva_override=EvaVitConfig(
+                image_size=28, patch_size=14, layers=4, width=32,
+                head_width=16, mlp_ratio=4.0, embed_dim=16,
+            ),
+            bert_override=BertConfig(
+                vocab_size=200, hidden_size=32, num_hidden_layers=2,
+                num_attention_heads=2, intermediate_size=64,
+                max_position_embeddings=32, encoder_width=32,
+            ),
+            contra_dim=16, max_vision_sample_num=2,
+            compute_dtype="float32", use_flash_attention=False,
+            pipeline_stages=pp,
+        )
+
+    rng = np.random.default_rng(0)
+    b = 8
+    batch = {
+        "vision_pixels": jnp.asarray(
+            rng.standard_normal((b, 2, 3, 28, 28)), jnp.float32
+        ),
+        "caption_ids": jnp.asarray(rng.integers(5, 200, (b, 10)), jnp.int32),
+        "caption_mask": jnp.ones((b, 10), jnp.int32),
+    }
+
+    cfg0, cfg2 = mk_cfg(1), mk_cfg(2)
+    params = init_mico(jax.random.PRNGKey(0), cfg0)
+    opt = build_optimizer(params, OptimConfig(num_train_steps=10))
+    opt_state = opt.init(params)
+
+    mesh = create_mesh(data=4, model=2)
+    key = jax.random.PRNGKey(3)
+    with jax.sharding.set_mesh(mesh):
+        sb = shard_batch(mesh, batch)
+        _, _, l0 = make_train_step(cfg0, opt, "cap%tv", donate=False)(
+            params, opt_state, sb, key
+        )
+        _, _, l2 = make_train_step(cfg2, opt, "cap%tv", donate=False)(
+            params, opt_state, sb, key
+        )
+    for k in l0:
+        np.testing.assert_allclose(
+            float(l2[k]), float(l0[k]), rtol=2e-5, atol=2e-6
+        )
