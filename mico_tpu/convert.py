@@ -41,6 +41,29 @@ def _t(w: Array) -> Array:
     return np.ascontiguousarray(w.T)
 
 
+class _TrackedDict(dict):
+    """State-dict view that records every consumed key (getitem / get) into
+    a shared set, re-prefixed with the original checkpoint prefix — the
+    complete-consumption audit for released-layout checkpoints
+    (tests/test_checkpoints.py::test_released_layout_manifest; the load path
+    warns about leftovers so a silently-dropped tensor is impossible)."""
+
+    def __init__(self, data, consumed=None, prefix=""):
+        super().__init__(data)
+        self._consumed = consumed
+        self._prefix = prefix
+
+    def __getitem__(self, k):
+        if self._consumed is not None:
+            self._consumed.add(self._prefix + k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if self._consumed is not None and super().__contains__(k):
+            self._consumed.add(self._prefix + k)
+        return super().get(k, default)
+
+
 # ---------------------------------------------------------------------------
 # EVA ViT
 # ---------------------------------------------------------------------------
@@ -62,11 +85,15 @@ def resize_vit_pos_embed(pos: Array, new_grid: int) -> Array:
 
 
 def eva_vit_from_torch(
-    sd: Mapping, cfg: EvaVitConfig, prefix: str = ""
+    sd: Mapping, cfg: EvaVitConfig, prefix: str = "", consumed=None
 ) -> dict:
     """Build the eva_vit param tree from a torch state_dict (already
     numpy-fied via `to_numpy`). `prefix` e.g. 'vision_encoder.visual.'."""
-    sd = {k[len(prefix):]: v for k, v in to_numpy(sd).items() if k.startswith(prefix)}
+    sd = _TrackedDict(
+        {k[len(prefix):]: v for k, v in to_numpy(sd).items()
+         if k.startswith(prefix)},
+        consumed, prefix,
+    )
     d, w = cfg.layers, cfg.width
 
     conv = sd["patch_embed.proj.weight"]  # (w, 3, p, p)
@@ -175,10 +202,15 @@ def eva_vit_from_torch(
 # ---------------------------------------------------------------------------
 
 
-def bert_from_torch(sd: Mapping, cfg: BertConfig, prefix: str = "") -> dict:
+def bert_from_torch(sd: Mapping, cfg: BertConfig, prefix: str = "",
+                    consumed=None) -> dict:
     """Build the bert param tree from `multimodal_encoder.*` keys
     (HF-style: bert.embeddings.*, bert.encoder.layer.{i}.*, cls.predictions.*)."""
-    sd = {k[len(prefix):]: v for k, v in to_numpy(sd).items() if k.startswith(prefix)}
+    sd = _TrackedDict(
+        {k[len(prefix):]: v for k, v in to_numpy(sd).items()
+         if k.startswith(prefix)},
+        consumed, prefix,
+    )
     d = cfg.num_hidden_layers
 
     def stack(fmt, transform=lambda x: x):

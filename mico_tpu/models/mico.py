@@ -377,11 +377,18 @@ def remap_legacy_keys(sd: Mapping) -> Dict[str, np.ndarray]:
     return out
 
 
-def mico_from_torch(sd: Mapping, cfg: MiCoConfig) -> dict:
+def mico_from_torch(sd: Mapping, cfg: MiCoConfig,
+                    consumed: Optional[set] = None) -> dict:
     """Full MiCo checkpoint (flat torch state_dict, possibly legacy-keyed) →
     param pytree, with frame-embedding nearest resize and pos-embed bilinear
-    resize exactly as the reference loader (inference_demo.py:42-97)."""
+    resize exactly as the reference loader (inference_demo.py:42-97).
+
+    consumed: optional set collecting every (post-legacy-remap) key actually
+    read — callers diff it against the checkpoint to surface leftovers
+    instead of dropping tensors silently."""
     sd = remap_legacy_keys(sd)
+    if consumed is not None:
+        sd = _convert._TrackedDict(sd, consumed)
     t = _convert._t
 
     def lin(name, bias=True):
@@ -405,10 +412,12 @@ def mico_from_torch(sd: Mapping, cfg: MiCoConfig) -> dict:
 
     params = {
         "vision_encoder": _convert.eva_vit_from_torch(
-            sd, cfg.eva_config, prefix="vision_encoder.visual."
+            sd, cfg.eva_config, prefix="vision_encoder.visual.",
+            consumed=consumed,
         ),
         "bert": _convert.bert_from_torch(
-            sd, cfg.bert_config, prefix="multimodal_encoder."
+            sd, cfg.bert_config, prefix="multimodal_encoder.",
+            consumed=consumed,
         ),
         "contra_temp": jnp.asarray(sd["contra_temp"], jnp.float32),
         "itm_head": {

@@ -243,11 +243,24 @@ def load_from_pretrained_dir(
             return params["bert"], cfg
         return params, cfg
 
+    def convert_with_audit(sd):
+        """Convert + warn about checkpoint tensors the converter never read
+        (a silently-dropped weight would otherwise be invisible)."""
+        from mico_tpu.models.mico import mico_from_torch, remap_legacy_keys
+
+        consumed: set = set()
+        params = mico_from_torch(sd, cfg, consumed=consumed)
+        leftover = sorted(set(remap_legacy_keys(dict(sd))) - consumed)
+        if leftover:
+            LOGGER.warning(
+                "checkpoint keys NOT consumed by the converter (%d): %s%s",
+                len(leftover), leftover[:8], " ..." if len(leftover) > 8 else "",
+            )
+        return params
+
     hf_sd = _hf_trainer_state_dict(pretrain_dir)
     if hf_sd is not None:
-        from mico_tpu.models.mico import mico_from_torch
-
-        return finish(mico_from_torch(hf_sd, cfg))
+        return finish(convert_with_audit(hf_sd))
 
     ckpt_dir = os.path.join(pretrain_dir, "ckpt")
     step, path = _latest_step(ckpt_dir, "model")
@@ -258,7 +271,5 @@ def load_from_pretrained_dir(
     if path.endswith((".npz", ".orbax")):
         params = load_checkpoint_path(path)
     else:
-        from mico_tpu.models.mico import mico_from_torch
-
-        params = mico_from_torch(load_torch_state_dict(path), cfg)
+        params = convert_with_audit(load_torch_state_dict(path))
     return finish(params)

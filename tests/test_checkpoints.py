@@ -206,3 +206,64 @@ def test_orbax_backend_roundtrip(tmp_path):
     names = os.listdir(tmp_path / "ckpt")
     assert any("model_step_9" in n for n in names)
     assert not any("model_step_7" in n for n in names)
+
+
+def test_released_layout_manifest():
+    """Complete-consumption audit of the released MiCo-ViT-g-14 layout
+    (round-2 VERDICT item 8): the vendored key+shape manifest was dumped
+    from the reference MiCo(opts).state_dict() (model/mico.py:374-423 +
+    eva_vit_model.py:488-659 + bert.py; CLIP text tower dropped as
+    from_pretrained deletes it, model/mico.py:419). The converter must
+    (a) consume every checkpoint tensor except the known non-weights, and
+    (b) initialize every leaf of the param tree from the checkpoint — no
+    silent drops in either direction."""
+    import json
+
+    import numpy as np
+
+    from mico_tpu.config import MiCoConfig
+    from mico_tpu.models.mico import init_mico, mico_from_torch
+    from mico_tpu.train.checkpoints import flatten_pytree
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "mico_vit_g_manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest) == 897
+
+    sd = {k: np.zeros(shape, np.float32) for k, shape in manifest.items()}
+    cfg = MiCoConfig(
+        vision_encoder_type="evaclip01_giant", contra_dim=512,
+        max_vision_sample_num=4, max_audio_sample_num=2,
+        max_depth_sample_num=2,
+    )
+    consumed = set()
+    params = mico_from_torch(sd, cfg, consumed=consumed)
+
+    # (a) every checkpoint tensor consumed, except known non-weights:
+    #     - HF position_ids buffer (not a parameter)
+    #     - tied decoder bias (cls.predictions.bias is the live copy)
+    #     - CustomCLIP logit_scale (MiCo uses its own contra_temp;
+    #       reference never reads vision_encoder.logit_scale)
+    expected_leftover = {
+        "multimodal_encoder.bert.embeddings.position_ids",
+        "multimodal_encoder.cls.predictions.decoder.bias",
+        "vision_encoder.logit_scale",
+    }
+    leftover = set(manifest) - consumed
+    assert leftover == expected_leftover, (
+        f"unconsumed: {sorted(leftover - expected_leftover)[:10]} / "
+        f"over-expected: {sorted(expected_leftover - leftover)}"
+    )
+
+    # (b) the converted tree has exactly the leaves a fresh init has —
+    #     nothing silently left at random init
+    got = set(flatten_pytree(params))
+    want = set(flatten_pytree(init_mico(jax.random.PRNGKey(0), cfg)))
+    assert got == want, (
+        f"missing: {sorted(want - got)[:10]} extra: {sorted(got - want)[:10]}"
+    )
+
+    # shapes survive the conversion round trip
+    flat = flatten_pytree(params)
+    assert flat["vision_encoder/blocks/qkv_w"].shape == (40, 1408, 3 * 1408)
+    assert flat["bert/embeddings/word"].shape == (30522, 768)
