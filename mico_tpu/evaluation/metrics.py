@@ -119,11 +119,13 @@ def cider_d(
                 dfs[n][g] += 1
 
     def tfidf(counts: Counter, n: int) -> Dict:
-        total = max(1, sum(counts.values()))
+        # RAW term counts x idf — pycocoevalcap's cider_scorer convention;
+        # normalizing tf by caption length is NOT equivalent because the
+        # clipped min() in the -D numerator is not scale-invariant
         vec = {}
         for g, c in counts.items():
             idf = math.log(max(1.0, n_imgs / max(1.0, dfs[n][g])))
-            vec[g] = (c / total) * idf
+            vec[g] = c * idf
         return vec
 
     def sim(v1: Dict, v2: Dict, l1: int, l2: int) -> float:

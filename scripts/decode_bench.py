@@ -1,0 +1,81 @@
+"""Captioner decode benchmark: KV-cached sample vs beam-3 throughput.
+
+Reference deployment shape (data/scripts/run_vision_captioner.sh:1-12):
+BERT-base interface, batch 64, 8-frame condition (8x257 = 2056 tokens),
+40 new tokens. Reports captions/s for mode in {sample, beam} and, with
+--profile, dumps a jax.profiler trace of the beam step.
+
+Usage: python scripts/decode_bench.py [--modes sample,beam] [--iters 5]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from mico_tpu.config import BertConfig
+from mico_tpu.generation import cached_beam_generate, cached_generate
+from mico_tpu.models.bert import init_bert
+
+B = 64
+COND_TOKENS = 2056
+NEW_TOKENS = 40
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="sample,beam")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--profile", default="")
+    args = ap.parse_args()
+    dtype = jnp.dtype(args.dtype)
+
+    cfg = BertConfig()
+    key = jax.random.PRNGKey(0)
+    params = init_bert(key, cfg)
+    cond = jax.random.normal(
+        jax.random.PRNGKey(1), (B, COND_TOKENS, cfg.hidden_size), dtype
+    )
+
+    @jax.jit
+    def run_sample(params, cond, rng):
+        return cached_generate(
+            params, cfg, cond, max_new_tokens=NEW_TOKENS, mode="sample",
+            top_k=10, rng=rng, compute_dtype=dtype,
+        )
+
+    @jax.jit
+    def run_beam(params, cond):
+        return cached_beam_generate(
+            params, cfg, cond, max_new_tokens=NEW_TOKENS, num_beams=3,
+            compute_dtype=dtype,
+        )
+
+    fns = {
+        "sample": lambda: run_sample(params, cond, jax.random.PRNGKey(2)),
+        "beam": lambda: run_beam(params, cond),
+    }
+    for mode in args.modes.split(","):
+        fn = fns[mode]
+        jax.block_until_ready(fn())  # compile
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                jax.block_until_ready(fn())
+        # block every iteration: deferred blocking under-reports through the
+        # axon dispatch tunnel
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            jax.block_until_ready(fn())
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{mode}: {dt * 1e3:.1f} ms/batch  "
+              f"{B / dt:.1f} captions/s  ({dt / NEW_TOKENS * 1e3:.2f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,26 @@ def test_caption_metrics_sane():
     assert cider_d(wrong, refs) < 1.0
 
 
+def test_caption_metric_goldens():
+    """20 caption/reference pairs frozen against independent implementations:
+    BLEU-4 vs sacrebleu (pycocoevalcap conventions: closest-ref brevity
+    penalty, max(0, len-n+1) denominators), CIDEr-D vs a verbatim
+    transcription of pycocoevalcap's cider_scorer math (raw-count tf-idf,
+    clipped -D numerator, per-n Gaussian length penalty). Regenerate via
+    scripts/gen_metric_goldens.py."""
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "caption_metric_goldens.json")
+    with open(path) as f:
+        gold = json.load(f)
+    hyps = [p["hyp"] for p in gold["pairs"]]
+    refs = [p["refs"] for p in gold["pairs"]]
+    assert bleu4(hyps, refs) == pytest.approx(gold["bleu4_sacrebleu"], abs=1e-4)
+    assert cider_d(hyps, refs) == pytest.approx(gold["cider_d_mean"], abs=1e-4)
+    # the fixture's per-image scores must be self-consistent with the mean
+    assert np.mean(gold["cider_d_per_image"]) == pytest.approx(
+        gold["cider_d_mean"], abs=1e-9)
+
+
 def test_vqa_accuracy_rules():
     assert vqa_accuracy(["yes", "no"], ["yes", "yes"]) == 0.5
     # list answers use the vqav2 min(matches/3, 1) rule
