@@ -333,6 +333,34 @@ def _cross_kv(params, cond):
     return proj(lp["xk_w"], lp["xk_b"]), proj(lp["xv_w"], lp["xv_b"])
 
 
+def _unstack(a, n):
+    """Stacked (layers, ...) array → tuple of per-layer arrays (one-time
+    copy at setup instead of a dynamic-slice copy per layer per step)."""
+    return tuple(a[l] for l in range(n))
+
+
+def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1):
+    """Python-unrolled decoder layer stack for the cached decode step.
+
+    ck/cv/xk/xv are TUPLES of per-layer arrays, not stacked (layers, ...)
+    arrays marched by lax.scan: at the captioner shape each layer's cross
+    K/V is (64, 2056, 768) ≈ 200 MB bf16, and a scan over layers
+    dynamic-slices (= copies) both out of HBM every layer of every decode
+    step — profiled at ~43% of the whole beam batch. As loop-invariant
+    closure constants indexed statically they are read in place by the
+    attention fusions instead. Returns (x, new_ck, new_cv) tuples."""
+    new_ck, new_cv = [], []
+    layers = params["layers"]
+    for l in range(cfg.num_hidden_layers):
+        lp = jax.tree.map(lambda a: a[l], layers)
+        x, ckl, cvl = _cached_layer_step(
+            x, lp, ck[l], cv[l], xk[l], xv[l], t, cfg, bias, n_rep
+        )
+        new_ck.append(ckl)
+        new_cv.append(cvl)
+    return x, tuple(new_ck), tuple(new_cv)
+
+
 def cached_generate(
     params: dict,
     cfg: BertConfig,
@@ -358,11 +386,15 @@ def cached_generate(
 
     cond = condition_feat.astype(compute_dtype)
     xk, xv = _cross_kv(params, cond)
-    xk = xk.astype(compute_dtype)
-    xv = xv.astype(compute_dtype)
+    xk = _unstack(xk.astype(compute_dtype), n_layers)
+    xv = _unstack(xv.astype(compute_dtype), n_layers)
 
-    ck0 = jnp.zeros((n_layers, b, lmax, h), compute_dtype)
-    cv0 = jnp.zeros((n_layers, b, lmax, h), compute_dtype)
+    ck0 = tuple(
+        jnp.zeros((b, lmax, h), compute_dtype) for _ in range(n_layers)
+    )
+    cv0 = tuple(
+        jnp.zeros((b, lmax, h), compute_dtype) for _ in range(n_layers)
+    )
     tokens0 = jnp.full((b, lmax), BERT_PAD_ID, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(BERT_CLS_ID)
 
@@ -382,15 +414,8 @@ def cached_generate(
         row_p = jnp.where((cols <= t) | (cols == lmax), 0.0, NEG_INF)
         bias = jnp.stack([row_c, row_p])[None, None]
 
-        def layer(x, xs):
-            lp, ckl, cvl, xkl, xvl = xs
-            x, ckl, cvl = _cached_layer_step(
-                x, lp, ckl, cvl, xkl, xvl, t, cfg, bias
-            )
-            return x, (ckl, cvl)
-
-        x, (ck, cv) = jax.lax.scan(
-            layer, x, (params["layers"], ck, cv, xk, xv)
+        x, ck, cv = _unrolled_layers(
+            x, params, ck, cv, xk, xv, t, cfg, bias
         )
         logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
         if mode == "greedy":
@@ -433,21 +458,21 @@ def _prefill_prefix(params, cfg, prefix_ids, prefix_mask, cond,
                     total_len, compute_dtype):
     """Encode the question prefix once (bidirectional over valid prefix
     positions, WITH cross-attention — identical to the prefix rows of the
-    recompute part-causal decode) and capture each layer's self K/V into
-    (layers, B, total_len, H) caches."""
+    recompute part-causal decode) and capture each layer's self K/V.
+    Returns per-layer TUPLES (see _unrolled_layers for why)."""
     b, lq = prefix_ids.shape
     h = cfg.hidden_size
     nh, hd = cfg.num_attention_heads, cfg.head_dim
+    n_layers = cfg.num_hidden_layers
     self_bias = extended_attention_mask(prefix_mask)
     x = bert_embeddings(
         params["embeddings"], cfg, prefix_ids, compute_dtype=compute_dtype
     )
     xk, xv = _cross_kv(params, cond)
-    xk = xk.astype(compute_dtype)
-    xv = xv.astype(compute_dtype)
+    xk = _unstack(xk.astype(compute_dtype), n_layers)
+    xv = _unstack(xv.astype(compute_dtype), n_layers)
 
-    def body(x, xs):
-        lp, xkl, xvl = xs
+    def body(x, lp, xkl, xvl):
         k = linear(x, lp["k_w"], lp["k_b"])
         v = linear(x, lp["v_w"], lp["v_b"])
         q = linear(x, lp["q_w"], lp["q_b"])
@@ -481,8 +506,13 @@ def _prefill_prefix(params, cfg, prefix_ids, prefix_mask, cond,
             jnp.concatenate([v, pad], axis=1),
         )
 
-    _, (ck, cv) = jax.lax.scan(body, x, (params["layers"], xk, xv))
-    return ck, cv, xk, xv
+    ck, cv = [], []
+    for l in range(n_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        x, (ckl, cvl) = body(x, lp, xk[l], xv[l])
+        ck.append(ckl)
+        cv.append(cvl)
+    return tuple(ck), tuple(cv), xk, xv
 
 
 def cached_generate_answers(
@@ -539,15 +569,8 @@ def cached_generate_answers(
         bias = (1.0 - jnp.stack([allow_c, allow_p], axis=1)) * NEG_INF
         bias = bias[:, None]                       # (b, 1, 2, total+1)
 
-        def layer(x, xs):
-            lp, ckl, cvl, xkl, xvl = xs
-            x, ckl, cvl = _cached_layer_step(
-                x, lp, ckl, cvl, xkl, xvl, lq + t, cfg, bias
-            )
-            return x, (ckl, cvl)
-
-        x, (ck, cv) = jax.lax.scan(
-            layer, x, (params["layers"], ck, cv, xk, xv)
+        x, ck, cv = _unrolled_layers(
+            x, params, ck, cv, xk, xv, lq + t, cfg, bias
         )
         logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
         if mode == "greedy":
@@ -608,8 +631,9 @@ def cached_beam_generate(
         ck0, cv0, xk, xv = _prefill_prefix(
             params, cfg, prefix_ids, prefix_mask, cond, total, compute_dtype
         )
-        ck0 = jnp.repeat(ck0, k, axis=1)          # per-beam self caches
-        cv0 = jnp.repeat(cv0, k, axis=1)
+        # per-beam self caches
+        ck0 = tuple(jnp.repeat(c, k, axis=0) for c in ck0)
+        cv0 = tuple(jnp.repeat(c, k, axis=0) for c in cv0)
         pfx_cols = jnp.pad(
             prefix_mask.astype(jnp.float32), ((0, 0), (0, total + 1 - lq))
         )
@@ -617,11 +641,15 @@ def cached_beam_generate(
     else:
         # cross K/V stay per batch element; beams fold into query rows
         xk, xv = _cross_kv(params, cond)
-        ck0 = jnp.zeros((n_layers, bk, total, h), compute_dtype)
-        cv0 = jnp.zeros((n_layers, bk, total, h), compute_dtype)
+        xk = _unstack(xk.astype(compute_dtype), n_layers)
+        xv = _unstack(xv.astype(compute_dtype), n_layers)
+        ck0 = tuple(
+            jnp.zeros((bk, total, h), compute_dtype) for _ in range(n_layers)
+        )
+        cv0 = tuple(
+            jnp.zeros((bk, total, h), compute_dtype) for _ in range(n_layers)
+        )
         pfx_cols = None
-    xk = xk.astype(compute_dtype)
-    xv = xv.astype(compute_dtype)
 
     tokens0 = jnp.full((b, k, lmax), BERT_PAD_ID, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(BERT_CLS_ID)
@@ -656,15 +684,8 @@ def cached_beam_generate(
              jnp.broadcast_to(allow_p, (bk, total + 1))], axis=1
         )) * NEG_INF)[:, None]                       # (bk, 1, 2, total+1)
 
-        def layer(x, xs):
-            lp, ckl, cvl, xkl, xvl = xs
-            x, ckl, cvl = _cached_layer_step(
-                x, lp, ckl, cvl, xkl, xvl, lq + t, cfg, bias, n_rep=k
-            )
-            return x, (ckl, cvl)
-
-        x, (ck, cv) = jax.lax.scan(
-            layer, x, (params["layers"], ck, cv, xk, xv)
+        x, ck, cv = _unrolled_layers(
+            x, params, ck, cv, xk, xv, lq + t, cfg, bias, n_rep=k
         )
         logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
@@ -700,8 +721,8 @@ def cached_beam_generate(
         flat_parent = (
             jnp.arange(b)[:, None] * k + parent
         ).reshape(bk)                                             # (bk,)
-        ck = jnp.take(ck, flat_parent, axis=1)
-        cv = jnp.take(cv, flat_parent, axis=1)
+        ck = tuple(jnp.take(c, flat_parent, axis=0) for c in ck)
+        cv = tuple(jnp.take(c, flat_parent, axis=0) for c in cv)
         return (
             tokens, committed, live_scores, fin_tokens, fin_scores, ck, cv
         ), None

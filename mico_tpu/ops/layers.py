@@ -16,6 +16,11 @@ import jax.numpy as jnp
 # producer into the consuming matmul.
 BARRIER_AFTER_LN = False
 
+# Perf experiment knob (scripts/perf_lab.py): dtype for LayerNorm statistics.
+# fp32 is the deployed default (parity-gated); bf16 trades LN reduction
+# precision for cheaper producer fusions into the consuming matmul.
+LN_STATS_DTYPE = jnp.float32
+
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf) GELU — matches torch.nn.GELU and the reference's
@@ -25,21 +30,23 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def layer_norm(
     x: jnp.ndarray,
-    weight: jnp.ndarray,
-    bias: jnp.ndarray,
+    weight: Optional[jnp.ndarray],
+    bias: Optional[jnp.ndarray],
     eps: float,
 ) -> jnp.ndarray:
     """LayerNorm over the last axis with fp32 statistics.
 
     Matches torch.nn.LayerNorm (biased variance). Output is cast back to the
-    input dtype so bf16 activation flows stay bf16.
-    """
+    input dtype so bf16 activation flows stay bf16. weight/bias may be None
+    (affine-free: the inference-time fold moves γ/β into the consuming
+    matmul — see models/eva_vit.fold_inference_params)."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x.astype(LN_STATS_DTYPE)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    if weight is not None:
+        y = y * weight.astype(LN_STATS_DTYPE) + bias.astype(LN_STATS_DTYPE)
     y = y.astype(orig_dtype)
     if BARRIER_AFTER_LN:
         y = jax.lax.optimization_barrier(y)

@@ -57,21 +57,24 @@ def main():
             compute_dtype=dtype,
         )
 
+    import numpy as np
+
     fns = {
         "sample": lambda: run_sample(params, cond, jax.random.PRNGKey(2)),
         "beam": lambda: run_beam(params, cond),
     }
     for mode in args.modes.split(","):
         fn = fns[mode]
-        jax.block_until_ready(fn())  # compile
+        np.asarray(fn())  # compile + hard sync
         if args.profile:
             with jax.profiler.trace(args.profile):
-                jax.block_until_ready(fn())
-        # block every iteration: deferred blocking under-reports through the
-        # axon dispatch tunnel
+                np.asarray(fn())
+        # time with a host readback every iteration: through the axon
+        # dispatch tunnel block_until_ready can return before the work is
+        # done (grossly under-reports); device-to-host copy is a hard sync
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            jax.block_until_ready(fn())
+            np.asarray(fn())
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{mode}: {dt * 1e3:.1f} ms/batch  "
               f"{B / dt:.1f} captions/s  ({dt / NEW_TOKENS * 1e3:.2f} ms/step)")

@@ -34,15 +34,19 @@ def vit_flops(b, cfg):
 
 
 def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
-                barrier: bool = False):
+                barrier: bool = False, ln_bf16: bool = False,
+                folded: bool = False):
     from mico_tpu import config as cfg_mod
     from mico_tpu.models import eva_vit
     from mico_tpu.ops import layers
 
     layers.BARRIER_AFTER_LN = barrier
+    layers.LN_STATS_DTYPE = jnp.bfloat16 if ln_bf16 else jnp.float32
 
     cfg = cfg_mod.eva_config_for_encoder_type("evaclip01_giant")
     params = eva_vit.init_eva_vit(jax.random.PRNGKey(0), cfg)
+    if folded:
+        params = eva_vit.fold_inference_params(params, cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params,
@@ -75,6 +79,7 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
     print(f"{name:14s} B={b:4d} {dt*1e3:8.2f} ms/step  "
           f"{fl/dt/1e12:6.1f} TF/s  {b/dt:7.1f} frames/s", flush=True)
     layers.BARRIER_AFTER_LN = False
+    layers.LN_STATS_DTYPE = jnp.float32
 
 
 VARIANTS = {
@@ -84,6 +89,8 @@ VARIANTS = {
     "batch224_bar": dict(b=224, barrier=True),
     "batch56": dict(b=56),
     "attn_xla": dict(attn_impl="xla"),
+    "ln_bf16": dict(ln_bf16=True),
+    "folded": dict(folded=True),
 }
 
 

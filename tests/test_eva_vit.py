@@ -131,3 +131,45 @@ def test_eva_vit_pooled_output(rng):
         eva_vit_forward(params, cfg, jnp.asarray(x), return_all_features=False)
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("variant", ["plain", "layerscale", "swiglu_subln",
+                                     "postnorm"])
+def test_fold_inference_params(rng, variant):
+    """fold_inference_params is a reparametrization: folded forward matches
+    the canonical forward (LN affines into consuming matmuls, LayerScale
+    into producing matmuls; coherent weight-rounding drift stays orders of
+    magnitude below bf16 deployment noise)."""
+    from mico_tpu.models.eva_vit import fold_inference_params, init_eva_vit
+    import jax
+
+    kw = {
+        "plain": {},
+        "layerscale": dict(ls_init_value=0.1),
+        "swiglu_subln": dict(naiveswiglu=True, subln=True),
+        "postnorm": dict(postnorm=True),
+    }[variant]
+    cfg = EvaVitConfig(image_size=28, patch_size=14, layers=3, width=64,
+                       head_width=32, embed_dim=32, **kw)
+    params = init_eva_vit(jax.random.PRNGKey(0), cfg)
+    # randomize LN affines and biases so the fold is non-trivial
+    leaves, td = jax.tree.flatten(params)
+    key = jax.random.PRNGKey(7)
+    rand = []
+    for a in leaves:
+        key, k2 = jax.random.split(key)
+        rand.append(a + 0.03 * jax.random.normal(k2, a.shape, a.dtype))
+    params = jax.tree.unflatten(td, rand)
+    folded = fold_inference_params(params, cfg)
+    if variant == "plain":
+        assert "norm1_w" not in folded["blocks"]
+        assert "qkv_bias" in folded["blocks"]
+    x = jnp.asarray(rng.standard_normal((2, 3, 28, 28)), jnp.float32)
+    y0 = np.asarray(eva_vit_forward(params, cfg, x))
+    y1 = np.asarray(eva_vit_forward(folded, cfg, x))
+    scale = np.abs(y0).max()
+    assert np.abs(y1 - y0).max() / scale < 1e-3
+    # cosine at deployment relevance (float64: fp32 dot saturates at ~1e-7)
+    a, b = y0.ravel().astype(np.float64), y1.ravel().astype(np.float64)
+    c = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert c > 1 - 1e-6
