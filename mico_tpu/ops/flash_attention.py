@@ -274,9 +274,19 @@ def _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k, interpret):
     )(*args)
 
 
+# Below this many query rows the KV-tiled kernel's per-grid-step overhead
+# loses to XLA at long context (measured on v5e at Lk=8224: kernel 0.80x XLA
+# at Lq=40, parity at 128, 1.25x at 512 — scripts/attn_bench.py).
+KV_TILED_MIN_Q = 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret):
     if k.shape[2] > MAX_RESIDENT_KV:
+        if q.shape[2] < KV_TILED_MIN_Q:
+            from mico_tpu.ops.attention import xla_attention
+
+            return xla_attention(q, k, v, bias=bias, scale=scale)
         return _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k,
                                interpret)
     return _flash(q, k, v, bias, scale, block_q, interpret)

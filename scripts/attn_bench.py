@@ -1,0 +1,64 @@
+"""Long-context attention bench: KV-tiled Pallas kernel vs XLA fallback.
+
+The reference's cross-attention context grows as n_frames x 257
+(model/mico.py:187-248): a 32-frame video is 8,224 tokens — past the
+resident-KV kernel's cliff (MAX_RESIDENT_KV=8192). Round 1 fell back to XLA
+there; the KV-tiled online-softmax kernel (ops/flash_attention.py) now keeps
+those shapes on the MXU. This measures both at the shapes that matter, with
+host-readback timing.
+
+Usage: python scripts/attn_bench.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mico_tpu.ops.attention import xla_attention
+from mico_tpu.ops.flash_attention import _flash_kv_tiled
+
+SHAPES = [
+    # (label, b, h, lq, lk, d)
+    ("32-frame BERT cross-attn (train, caption q-rows)", 64, 12, 40, 8224, 64),
+    ("16k generic long context", 8, 16, 1024, 16384, 88),
+]
+
+
+def bench(fn, args, iters=5):
+    out = fn(*args)
+    np.asarray(out[0, 0, 0, :4])  # compile + hard sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(fn(*args)[0, 0, 0, :4])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    rng = np.random.default_rng(0)
+    for label, b, h, lq, lk, d in SHAPES:
+        q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.bfloat16)
+        scale = float(d) ** -0.5
+
+        kt = jax.jit(lambda q, k, v: _flash_kv_tiled(
+            q, k, v, None, scale, 128, 1024, False))
+        xa = jax.jit(lambda q, k, v: xla_attention(q, k, v, scale=scale))
+
+        dt_k = bench(kt, (q, k, v))
+        dt_x = bench(xa, (q, k, v))
+        fl = 2 * 2 * b * h * lq * lk * d
+        print(f"{label}:")
+        print(f"  kv-tiled kernel: {dt_k*1e3:8.2f} ms  {fl/dt_k/1e12:6.1f} TF/s")
+        print(f"  xla fallback:    {dt_x*1e3:8.2f} ms  {fl/dt_x/1e12:6.1f} TF/s"
+              f"  (kernel {dt_x/dt_k:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
