@@ -6,6 +6,9 @@ BERT-base interface, batch 64, 8-frame condition (8x257 = 2056 tokens),
 --profile, dumps a jax.profiler trace of the beam step.
 
 Usage: python scripts/decode_bench.py [--modes sample,beam] [--iters 5]
+       python scripts/decode_bench.py --preset audio   # bs 128, 514-token
+       condition (2x257 audio slices), the audio captioner deployment shape
+       (data/scripts/run_audio_captioner.sh:1-11)
 """
 
 import argparse
@@ -22,8 +25,10 @@ from mico_tpu.config import BertConfig
 from mico_tpu.generation import cached_beam_generate, cached_generate
 from mico_tpu.models.bert import init_bert
 
-B = 64
-COND_TOKENS = 2056
+PRESETS = {
+    "vision": dict(b=64, cond_tokens=2056),   # 8-frame video condition
+    "audio": dict(b=128, cond_tokens=514),    # 2 audio slices
+}
 NEW_TOKENS = 40
 
 
@@ -32,9 +37,12 @@ def main():
     ap.add_argument("--modes", default="sample,beam")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--preset", default="vision", choices=sorted(PRESETS))
     ap.add_argument("--profile", default="")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
+    B = PRESETS[args.preset]["b"]
+    COND_TOKENS = PRESETS[args.preset]["cond_tokens"]
 
     cfg = BertConfig()
     key = jax.random.PRNGKey(0)
