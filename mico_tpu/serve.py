@@ -55,7 +55,13 @@ class EmbeddingPipeline:
         melbins: int = 224,
         target_length: int = 224,
         resize_melbin_num: int = 224,
+        fold_constants: bool = True,
     ):
+        if fold_constants:
+            # LN affines / LayerScale folded into the adjacent matmuls —
+            # a reparametrization (mico.fold_inference_params); serving
+            # never trains, so the canonical layout is not needed here
+            params = mico_mod.fold_inference_params(params, cfg)
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer

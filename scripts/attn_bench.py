@@ -24,8 +24,11 @@ from mico_tpu.ops.attention import xla_attention
 from mico_tpu.ops.flash_attention import _flash_kv_tiled
 
 SHAPES = [
-    # (label, b, h, lq, lk, d)
+    # (label, b, h, lq, lk, d) — the Lq sweep at Lk=8224 is what sets
+    # ops/flash_attention.KV_TILED_MIN_Q (crossover ≈ 128 on v5e)
     ("32-frame BERT cross-attn (train, caption q-rows)", 64, 12, 40, 8224, 64),
+    ("Lk=8224 crossover point", 64, 12, 128, 8224, 64),
+    ("Lk=8224 large-q", 64, 12, 512, 8224, 64),
     ("16k generic long context", 8, 16, 1024, 16384, 88),
 ]
 

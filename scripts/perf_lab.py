@@ -42,6 +42,18 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
 
     layers.BARRIER_AFTER_LN = barrier
     layers.LN_STATS_DTYPE = jnp.bfloat16 if ln_bf16 else jnp.float32
+    try:
+        _run_variant(name, b, attn_impl, folded)
+    finally:
+        # restore the globals even when a variant raises (OOM/compile):
+        # later variants in the same process must not inherit them
+        layers.BARRIER_AFTER_LN = False
+        layers.LN_STATS_DTYPE = jnp.float32
+
+
+def _run_variant(name, b, attn_impl, folded):
+    from mico_tpu import config as cfg_mod
+    from mico_tpu.models import eva_vit
 
     cfg = cfg_mod.eva_config_for_encoder_type("evaclip01_giant")
     params = eva_vit.init_eva_vit(jax.random.PRNGKey(0), cfg)
@@ -78,8 +90,6 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
     fl = vit_flops(b, cfg)
     print(f"{name:14s} B={b:4d} {dt*1e3:8.2f} ms/step  "
           f"{fl/dt/1e12:6.1f} TF/s  {b/dt:7.1f} frames/s", flush=True)
-    layers.BARRIER_AFTER_LN = False
-    layers.LN_STATS_DTYPE = jnp.float32
 
 
 VARIANTS = {

@@ -72,3 +72,24 @@ def test_embed_audio_and_texts(pipe, tmp_path):
     sims = pipe.similarity(tf, af)
     assert sims.shape == (3, 4)
     assert np.isfinite(sims).all()
+
+
+def test_fold_constants_equivalence(pipe, tmp_path):
+    """The serving pipeline's folded params (mico.fold_inference_params,
+    fold_constants=True default) produce the same embeddings as the
+    canonical layout."""
+    import cv2
+
+    rng = np.random.default_rng(2)
+    p = str(tmp_path / "im.jpg")
+    cv2.imwrite(p, rng.integers(0, 255, (40, 44, 3), dtype=np.uint8))
+    params = init_mico(jax.random.PRNGKey(0), CFG)
+    tok = BertWordPieceTokenizer(VOCAB)
+    raw = EmbeddingPipeline(params, CFG, tok, batch_size=3, io_workers=2,
+                            melbins=28, target_length=28,
+                            resize_melbin_num=28, fold_constants=False)
+    assert "norm1_w" in raw.params["vision_encoder"]["blocks"]
+    assert "norm1_w" not in pipe.params["vision_encoder"]["blocks"]
+    np.testing.assert_allclose(
+        pipe.embed_images([p]), raw.embed_images([p]), rtol=2e-5, atol=2e-6
+    )
