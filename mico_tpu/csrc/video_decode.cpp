@@ -46,7 +46,11 @@ struct Demux {
     if (!dec) return -4;
     if (avcodec_parameters_to_context(dec, fmt->streams[stream]->codecpar) < 0)
       return -5;
-    dec->thread_count = 0;  // auto
+    // One decode thread per context: the data-engine/serving thread pool
+    // already parallelizes across items, so intra-item frame threading only
+    // oversubscribes cores (measured 2.4x slower with 8 concurrent decodes
+    // on a small host when left on auto).
+    dec->thread_count = 1;
     if (avcodec_open2(dec, codec, nullptr) < 0) return -6;
     return 0;
   }

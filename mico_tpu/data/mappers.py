@@ -23,20 +23,19 @@ import os
 import random
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from mico_tpu.media.audio_io import load_waveform
 from mico_tpu.media.chunking import sample_chunk_indices
 from mico_tpu.media.image_io import load_image_chw
 from mico_tpu.media.processors import (
-    _resize_normalize,
+    _resize_normalize_host,
     _stats_for,
     _random_resized_crop,
     _resize_short_center_crop,
 )
 from mico_tpu.media.video_io import read_frames_chw, video_num_frames
-from mico_tpu.ops.fbank import FbankConfig, kaldi_fbank
+from mico_tpu.ops.fbank import FbankConfig, kaldi_fbank_np
 
 VIDEO_EXT_FALLBACK = ("", ".mp4", ".avi", ".webm", ".mkv")
 IMAGE_EXT_FALLBACK = ("", ".jpg", ".JPEG")
@@ -93,14 +92,10 @@ class VisionMapper:
             m = np.asarray(self.mean, np.float32).reshape(1, 3, 1, 1)
             s = np.asarray(self.std, np.float32).reshape(1, 3, 1, 1)
             return (frames01.astype(np.float32) - m) / s
-        # 'none': fused device resize+normalize (jit per geometry)
-        return np.asarray(
-            _resize_normalize(
-                jnp.asarray(frames01, jnp.float32),
-                self.resolution,
-                tuple(self.mean),
-                tuple(self.std),
-            )
+        # 'none': host resize+normalize (numpy twin of the device op —
+        # loader threads must not dispatch per-item device programs)
+        return _resize_normalize_host(
+            frames01, self.resolution, tuple(self.mean), tuple(self.std)
         )
 
     # ---- readers ----
@@ -229,7 +224,8 @@ class AudioMapper:
             wave, _ = load_waveform(path, target_sr=16000)
             wave = wave * 2.0**15
             cfg = FbankConfig(num_mel_bins=self.melbins)
-        return np.asarray(kaldi_fbank(jnp.asarray(wave, jnp.float32), cfg))
+        # numpy twin: loader threads must not dispatch device programs
+        return kaldi_fbank_np(np.asarray(wave, np.float32), cfg)
 
     def read(self, id_) -> Optional[np.ndarray]:
         path = _resolve_path(self.audio_dir, id_, AUDIO_EXT_FALLBACK)

@@ -30,8 +30,12 @@ from mico_tpu.media.audio_io import load_waveform
 from mico_tpu.media.chunking import sample_chunk_indices
 from mico_tpu.media.image_io import load_image_chw
 from mico_tpu.media.video_io import read_frames_chw, video_num_frames
-from mico_tpu.ops.fbank import FbankConfig, kaldi_fbank
-from mico_tpu.ops.interpolate import interp_bilinear_2d, resize_bilinear_no_antialias
+from mico_tpu.ops.fbank import FbankConfig, kaldi_fbank, kaldi_fbank_np
+from mico_tpu.ops.interpolate import (
+    interp_bilinear_2d,
+    interp_bilinear_2d_np,
+    resize_bilinear_no_antialias,
+)
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -47,10 +51,23 @@ def _stats_for(encoder_type: str):
 
 @functools.partial(jax.jit, static_argnames=("resolution", "mean", "std"))
 def _resize_normalize(frames, resolution: int, mean, std):
-    """(n, 3, H, W) [0,1] → (n, 3, R, R) normalized."""
+    """(n, 3, H, W) [0,1] → (n, 3, R, R) normalized (device; for callers
+    already inside a jitted flow)."""
     x = resize_bilinear_no_antialias(frames, (resolution, resolution))
     m = jnp.asarray(mean, jnp.float32).reshape(1, 3, 1, 1)
     s = jnp.asarray(std, jnp.float32).reshape(1, 3, 1, 1)
+    return (x - m) / s
+
+
+def _resize_normalize_host(frames, resolution: int, mean, std):
+    """Numpy twin of _resize_normalize for the host media threads: per-item
+    device dispatch costs ~200 ms through a tunneled chip and contends with
+    the model on local chips (same sampling math, host-measured ~3 ms)."""
+    x = interp_bilinear_2d_np(
+        np.asarray(frames, np.float32), (resolution, resolution)
+    )
+    m = np.asarray(mean, np.float32).reshape(1, 3, 1, 1)
+    s = np.asarray(std, np.float32).reshape(1, 3, 1, 1)
     return (x - m) / s
 
 
@@ -58,10 +75,25 @@ def _resize_normalize(frames, resolution: int, mean, std):
     jax.jit, static_argnames=("melbins", "resize_melbin_num", "mean", "std")
 )
 def _wave_to_fbank(wave, melbins: int, resize_melbin_num: int, mean, std):
-    """16 kHz mono wave → normalized (frames, resize_melbin_num) fbank."""
+    """16 kHz mono wave → normalized (frames, resize_melbin_num) fbank
+    (device; for callers already inside a jitted flow)."""
     fb = kaldi_fbank(wave * (2.0**15), FbankConfig(num_mel_bins=melbins))
     if melbins != resize_melbin_num:
         fb = interp_bilinear_2d(
+            fb[None, None], (fb.shape[0], resize_melbin_num)
+        )[0, 0]
+    return (fb - mean) / (2.0 * std)
+
+
+def _wave_to_fbank_host(wave, melbins: int, resize_melbin_num: int, mean, std):
+    """Numpy twin of _wave_to_fbank for host media threads (see
+    _resize_normalize_host for why)."""
+    fb = kaldi_fbank_np(
+        np.asarray(wave, np.float32) * np.float32(2.0**15),
+        FbankConfig(num_mel_bins=melbins),
+    )
+    if melbins != resize_melbin_num:
+        fb = interp_bilinear_2d_np(
             fb[None, None], (fb.shape[0], resize_melbin_num)
         )[0, 0]
     return (fb - mean) / (2.0 * std)
@@ -132,10 +164,7 @@ class ImageProcessor:
             m = np.asarray(self.mean, np.float32).reshape(1, 3, 1, 1)
             s = np.asarray(self.std, np.float32).reshape(1, 3, 1, 1)
             return ((frames - m) / s).astype(np.float32)
-        out = _resize_normalize(
-            jnp.asarray(frames), r, self.mean, self.std
-        )
-        return np.asarray(out)
+        return _resize_normalize_host(frames, r, self.mean, self.std)
 
     def __call__(self, image_file: str) -> Optional[np.ndarray]:
         """→ (1, 3, R, R) or None on failure (reference contract)."""
@@ -215,14 +244,8 @@ class AudioProcessor:
 
     def from_waveform(self, wave: np.ndarray) -> np.ndarray:
         """16 kHz mono float wave → (sample_num, target_length, mel)."""
-        fb = np.asarray(
-            _wave_to_fbank(
-                jnp.asarray(wave, jnp.float32),
-                self.melbins,
-                self.resize_melbin_num,
-                self.mean,
-                self.std,
-            )
+        fb = _wave_to_fbank_host(
+            wave, self.melbins, self.resize_melbin_num, self.mean, self.std
         )
         src = fb.shape[0]
         t = self.target_length
@@ -264,19 +287,13 @@ def _random_resized_crop(frames: np.ndarray, r: int, rng: random.Random):
             i = rng.randint(0, h - side)
             j = rng.randint(0, w - side)
             crop = frames[:, :, i : i + side, j : j + side]
-            return np.asarray(
-                _resize_normalize.__wrapped__(
-                    jnp.asarray(crop), r, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
-                )
+            return interp_bilinear_2d_np(
+                np.asarray(crop, np.float32), (r, r)
             )
     side = min(h, w)
     i, j = (h - side) // 2, (w - side) // 2
     crop = frames[:, :, i : i + side, j : j + side]
-    return np.asarray(
-        _resize_normalize.__wrapped__(
-            jnp.asarray(crop), r, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
-        )
-    )
+    return interp_bilinear_2d_np(np.asarray(crop, np.float32), (r, r))
 
 
 def _resize_short_center_crop(frames: np.ndarray, r: int):
@@ -286,7 +303,7 @@ def _resize_short_center_crop(frames: np.ndarray, r: int):
         nh, nw = r, max(r, int(round(w * r / h)))
     else:
         nh, nw = max(r, int(round(h * r / w))), r
-    x = np.asarray(interp_bilinear_2d(jnp.asarray(frames), (nh, nw)))
+    x = interp_bilinear_2d_np(np.asarray(frames, np.float32), (nh, nw))
     top = (nh - r) // 2
     left = (nw - r) // 2
     return x[:, :, top : top + r, left : left + r]

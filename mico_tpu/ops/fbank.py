@@ -168,3 +168,38 @@ def kaldi_fbank(
                     preferred_element_type=jnp.float32, precision=prec)
     eps = jnp.float32(np.finfo(np.float32).eps)
     return jnp.log(jnp.maximum(feats, eps))
+
+
+def kaldi_fbank_np(
+    waveform: np.ndarray, cfg: FbankConfig = FbankConfig()
+) -> np.ndarray:
+    """Host (numpy) twin of kaldi_fbank — identical math on the same static
+    matrices, for data-loader threads (per-item device dispatch from host
+    threads costs ~200 ms through a tunneled chip and contends with the
+    model on local chips)."""
+    window, dft_cos, dft_sin, mel = _static_matrices(
+        tuple(dataclasses.asdict(cfg).items())
+    )
+    ws, shift, padded = cfg.window_size, cfg.window_shift, cfg.padded_window_size
+    m = num_frames(waveform.shape[0], cfg)
+    if m <= 0:
+        raise ValueError("waveform shorter than one frame")
+
+    idx = (
+        np.arange(m, dtype=np.int64)[:, None] * shift
+        + np.arange(ws, dtype=np.int64)[None, :]
+    )
+    frames = np.asarray(waveform, np.float32)[idx]              # (m, ws)
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis != 0.0:
+        prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - cfg.preemphasis * prev
+    frames = frames * window
+    frames = np.pad(frames, ((0, 0), (0, padded - ws)))
+
+    re = frames @ dft_cos
+    im = frames @ dft_sin
+    power = re * re + im * im
+    feats = power @ mel.T
+    return np.log(np.maximum(feats, np.finfo(np.float32).eps))

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def interp_nearest_1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
@@ -72,3 +73,36 @@ def resize_bilinear_no_antialias(
     torchvision's tensor-mode `Resize` (antialias off) used by the reference
     preprocessing (model/imageprocessor.py:26-38)."""
     return interp_bilinear_2d(img, out_hw)
+
+
+# ---- host (numpy) twins --------------------------------------------------
+#
+# The media loaders run in host threads; dispatching a per-item device
+# program from there costs ~200 ms through a tunneled chip and contends
+# with the model on local chips, so the data path uses these numpy twins
+# of the exact same sampling math.
+
+
+def _interp_axis_np(x: np.ndarray, out_len: int, axis: int) -> np.ndarray:
+    in_len = x.shape[axis]
+    if in_len == out_len:
+        return x
+    scale = in_len / out_len
+    src = (np.arange(out_len, dtype=np.float32) + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, float(in_len - 1))
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_len - 1)
+    i1 = np.clip(i0 + 1, 0, in_len - 1)
+    w1 = (src - i0.astype(np.float32)).astype(x.dtype)
+    x0 = np.take(x, i0, axis=axis)
+    x1 = np.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_len
+    w1 = w1.reshape(shape)
+    return x0 * (1 - w1) + x1 * w1
+
+
+def interp_bilinear_2d_np(x: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Host twin of interp_bilinear_2d — identical sampling rules
+    (torch bilinear, align_corners=False, no antialias), pure numpy."""
+    x = _interp_axis_np(x, out_hw[0], axis=x.ndim - 2)
+    return _interp_axis_np(x, out_hw[1], axis=x.ndim - 1)

@@ -51,7 +51,7 @@ class EmbeddingPipeline:
         cfg: MiCoConfig,
         tokenizer=None,
         batch_size: int = 16,
-        io_workers: int = 8,
+        io_workers: Optional[int] = None,
         melbins: int = 224,
         target_length: int = 224,
         resize_melbin_num: int = 224,
@@ -66,6 +66,12 @@ class EmbeddingPipeline:
         self.cfg = cfg
         self.tok = tokenizer
         self.batch_size = batch_size
+        if io_workers is None:
+            # decode is CPU-bound (the C++ decoder runs one thread per item
+            # by design — the pool IS the parallelism): size to the host
+            import os
+
+            io_workers = max(2, min(8, os.cpu_count() or 1))
         self.pool = ThreadPoolExecutor(max_workers=io_workers)
         self.image_proc = ImageProcessor(
             cfg.vision_resolution, cfg.vision_encoder_type, training=False

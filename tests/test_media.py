@@ -131,3 +131,28 @@ def test_native_video_decoder(tmp_path):
     ref = _read_frames_cv2(path, idx)
     assert nat.shape == (6, 3, h, w)
     np.testing.assert_allclose(nat, ref, atol=0.05)
+
+
+def test_host_twins_match_device_ops():
+    """The numpy host twins (loader threads must not dispatch per-item
+    device programs) match the jitted device ops they mirror."""
+    from mico_tpu.media.processors import (
+        _resize_normalize,
+        _resize_normalize_host,
+        _wave_to_fbank,
+        _wave_to_fbank_host,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((2, 3, 37, 53)).astype(np.float32)
+    mean = (0.48145466, 0.4578275, 0.40821073)
+    std = (0.26862954, 0.26130258, 0.27577711)
+    dev = np.asarray(_resize_normalize(jnp.asarray(frames), 24, mean, std))
+    host = _resize_normalize_host(frames, 24, mean, std)
+    np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    dev = np.asarray(_wave_to_fbank(jnp.asarray(wave), 64, 48, 15.41663, 6.55582))
+    host = _wave_to_fbank_host(wave, 64, 48, 15.41663, 6.55582)
+    np.testing.assert_allclose(host, dev, rtol=2e-4, atol=2e-4)
