@@ -279,6 +279,14 @@ def _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k, interpret):
 # at Lq=40, parity at 128, 1.25x at 512 — scripts/attn_bench.py).
 KV_TILED_MIN_Q = 128
 
+# Tile floor for the KV-tiled route: big tiles amortize the per-grid-step
+# recurrence (v5e sweep at the 16k shape: 128/1024 = 46.9 ms, 256/2048 =
+# 37.3, 512/2048 = 36.5; 512/4096 and 1024/2048 stall the compiler). The
+# defaults sized for the resident kernel are raised to these floors here;
+# tile size never changes results (exact-match tests).
+KV_TILED_TQ = 512
+KV_TILED_TK = 2048
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret):
@@ -287,8 +295,9 @@ def _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret):
             from mico_tpu.ops.attention import xla_attention
 
             return xla_attention(q, k, v, bias=bias, scale=scale)
-        return _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k,
-                               interpret)
+        return _flash_kv_tiled(q, k, v, bias, scale,
+                               max(block_q, KV_TILED_TQ),
+                               max(block_k, KV_TILED_TK), interpret)
     return _flash(q, k, v, bias, scale, block_q, interpret)
 
 

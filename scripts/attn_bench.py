@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mico_tpu.ops.attention import xla_attention
-from mico_tpu.ops.flash_attention import _flash_kv_tiled
+from mico_tpu.ops.flash_attention import _flash_kv_tiled, KV_TILED_TQ, KV_TILED_TK
 
 SHAPES = [
     # (label, b, h, lq, lk, d) — the Lq sweep at Lk=8224 is what sets
@@ -50,8 +50,9 @@ def main():
         v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.bfloat16)
         scale = float(d) ** -0.5
 
+        # the production tile floors (what flash_attention dispatch uses)
         kt = jax.jit(lambda q, k, v: _flash_kv_tiled(
-            q, k, v, None, scale, 128, 1024, False))
+            q, k, v, None, scale, KV_TILED_TQ, KV_TILED_TK, False))
         xa = jax.jit(lambda q, k, v: xla_attention(q, k, v, scale=scale))
 
         dt_k = bench(kt, (q, k, v))
