@@ -22,12 +22,18 @@ import jax
 import jax.numpy as jnp
 
 from mico_tpu.config import BertConfig
-from mico_tpu.generation import cached_beam_generate, cached_generate
+from mico_tpu.generation import (
+    cached_beam_generate,
+    cached_generate,
+    cached_generate_answers,
+)
 from mico_tpu.models.bert import init_bert
 
 PRESETS = {
     "vision": dict(b=64, cond_tokens=2056),   # 8-frame video condition
     "audio": dict(b=128, cond_tokens=514),    # 2 audio slices
+    # VQA eval: 25-token question prefix, 10 answer tokens
+    "qa": dict(b=64, cond_tokens=2056, prefix_len=25, new_tokens=10),
 }
 NEW_TOKENS = 40
 
@@ -41,8 +47,11 @@ def main():
     ap.add_argument("--profile", default="")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
-    B = PRESETS[args.preset]["b"]
-    COND_TOKENS = PRESETS[args.preset]["cond_tokens"]
+    preset = PRESETS[args.preset]
+    B = preset["b"]
+    COND_TOKENS = preset["cond_tokens"]
+    new_tokens = preset.get("new_tokens", NEW_TOKENS)
+    prefix_len = preset.get("prefix_len", 0)
 
     cfg = BertConfig()
     key = jax.random.PRNGKey(0)
@@ -50,18 +59,31 @@ def main():
     cond = jax.random.normal(
         jax.random.PRNGKey(1), (B, COND_TOKENS, cfg.hidden_size), dtype
     )
+    if prefix_len:
+        q_ids = jax.random.randint(
+            jax.random.PRNGKey(3), (B, prefix_len), 200, 20000, jnp.int32
+        )
+        q_mask = jnp.ones((B, prefix_len), jnp.int32)
+
+        @jax.jit
+        def run_qa(params, cond, q_ids, q_mask):
+            return cached_generate_answers(
+                params, cfg, q_ids, q_mask, cond,
+                max_new_tokens=new_tokens, mode="greedy",
+                compute_dtype=dtype,
+            )
 
     @jax.jit
     def run_sample(params, cond, rng):
         return cached_generate(
-            params, cfg, cond, max_new_tokens=NEW_TOKENS, mode="sample",
+            params, cfg, cond, max_new_tokens=new_tokens, mode="sample",
             top_k=10, rng=rng, compute_dtype=dtype,
         )
 
     @jax.jit
     def run_beam(params, cond):
         return cached_beam_generate(
-            params, cfg, cond, max_new_tokens=NEW_TOKENS, num_beams=3,
+            params, cfg, cond, max_new_tokens=new_tokens, num_beams=3,
             compute_dtype=dtype,
         )
 
@@ -71,6 +93,8 @@ def main():
         "sample": lambda: run_sample(params, cond, jax.random.PRNGKey(2)),
         "beam": lambda: run_beam(params, cond),
     }
+    if prefix_len:
+        fns["greedy_qa"] = lambda: run_qa(params, cond, q_ids, q_mask)
     for mode in args.modes.split(","):
         fn = fns[mode]
         np.asarray(fn())  # compile + hard sync
@@ -85,7 +109,7 @@ def main():
             np.asarray(fn())
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{mode}: {dt * 1e3:.1f} ms/batch  "
-              f"{B / dt:.1f} captions/s  ({dt / NEW_TOKENS * 1e3:.2f} ms/step)")
+              f"{B / dt:.1f} items/s  ({dt / new_tokens * 1e3:.2f} ms/step)")
 
 
 if __name__ == "__main__":
