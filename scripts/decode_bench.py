@@ -73,6 +73,14 @@ def main():
                 compute_dtype=dtype,
             )
 
+        @jax.jit
+        def run_qa_beam(params, cond, q_ids, q_mask):
+            # the Evaluator's deployed QA mode (evaluation/__init__.py:387)
+            return cached_beam_generate(
+                params, cfg, cond, max_new_tokens=new_tokens, num_beams=3,
+                compute_dtype=dtype, prefix_ids=q_ids, prefix_mask=q_mask,
+            )
+
     @jax.jit
     def run_sample(params, cond, rng):
         return cached_generate(
@@ -95,6 +103,7 @@ def main():
     }
     if prefix_len:
         fns["greedy_qa"] = lambda: run_qa(params, cond, q_ids, q_mask)
+        fns["beam_qa"] = lambda: run_qa_beam(params, cond, q_ids, q_mask)
     for mode in args.modes.split(","):
         fn = fns[mode]
         np.asarray(fn())  # compile + hard sync
