@@ -134,8 +134,8 @@ class VisionMapper:
             cap.release()
             sample_num = max(1, int(n * self.extract_fps / fps))
         idx = sample_chunk_indices(n, sample_num, self.training, self._rng)
-        frames = read_frames_chw(path, idx)  # (n,3,H,W) uint8
-        return self._transform(frames.astype(np.float32) / 255.0)
+        # read_frames_chw already returns float32 RGB in [0,1]
+        return self._transform(read_frames_chw(path, idx))
 
     def _read_frames(self, id_) -> np.ndarray:
         frame_dir = os.path.join(self.vision, str(id_))
@@ -144,10 +144,11 @@ class VisionMapper:
         if self.dense_extraction:
             sample_num = max(1, int(len(names) * self.extract_fps / self.frame_fps))
         idx = sample_chunk_indices(len(names), sample_num, self.training, self._rng)
+        # load_image_chw already returns float32 RGB in [0,1]
         frames = np.stack(
             [load_image_chw(os.path.join(frame_dir, names[i])) for i in idx]
         )
-        return self._transform(frames.astype(np.float32) / 255.0)
+        return self._transform(frames)
 
     def _read_image(self, id_) -> np.ndarray:
         path = _resolve_path(self.vision, id_, IMAGE_EXT_FALLBACK)
@@ -156,8 +157,8 @@ class VisionMapper:
             # (vision_mapper.py:196-199); we log and zero-fill for any set
             print("not have im", id_)
             return np.zeros((1, 3, self.resolution, self.resolution), np.float32)
-        img = load_image_chw(path)[None]  # (1,3,H,W) uint8
-        return self._transform(img.astype(np.float32) / 255.0)
+        # load_image_chw already returns float32 RGB in [0,1]
+        return self._transform(load_image_chw(path)[None])
 
     def _read_feats(self, id_) -> np.ndarray:
         """Pre-extracted clip features: h5 (`c3d_features` or flat) or

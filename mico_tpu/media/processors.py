@@ -108,7 +108,12 @@ def resize_max_size(
 ) -> np.ndarray:
     """Aspect-preserving longest-side resize + center pad to a square —
     the reference `ResizeMaxSize` eval transform
-    (model/evaclip/transform.py:13-36). frames: (n, 3, H, W) in [0, 1]."""
+    (model/evaclip/transform.py:13-36). frames: (n, 3, H, W) in [0, 1].
+
+    KNOWN exception to the host-twin rule: the bicubic resize still runs
+    through jax.image per item (an antialiased Keys kernel with no cheap
+    exact numpy twin). Only the rarely-used 'resize_longest_max' transform
+    pays this; the default and crop_flip paths are host-only."""
     h, w = frames.shape[-2:]
     scale = max_size / float(max(h, w))
     if scale == 1.0:

@@ -275,15 +275,18 @@ def _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k, interpret):
 
 
 # Below this many query rows the KV-tiled kernel's per-grid-step overhead
-# loses to XLA at long context (measured on v5e at Lk=8224: kernel 0.80x XLA
-# at Lq=40, parity at 128, 1.25x at 512 — scripts/attn_bench.py).
+# loses to XLA at long context (measured on v5e at Lk=8224 with the
+# production 512/2048 tiles: kernel 0.82x XLA at Lq=40, ~parity at 128
+# [41.8 vs 40.2 ms], 1.69x at 512 — scripts/attn_bench.py).
 KV_TILED_MIN_Q = 128
 
 # Tile floor for the KV-tiled route: big tiles amortize the per-grid-step
 # recurrence (v5e sweep at the 16k shape: 128/1024 = 46.9 ms, 256/2048 =
 # 37.3, 512/2048 = 36.5; 512/4096 and 1024/2048 stall the compiler). The
-# defaults sized for the resident kernel are raised to these floors here;
-# tile size never changes results (exact-match tests).
+# signature defaults are sized for the resident kernel, so when the caller
+# leaves them untouched the tiled route upgrades to these; an EXPLICIT
+# non-default block size is respected (e.g. to shrink VMEM pressure).
+# Tile size never changes results (exact-match tests).
 KV_TILED_TQ = 512
 KV_TILED_TK = 2048
 
@@ -295,9 +298,9 @@ def _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret):
             from mico_tpu.ops.attention import xla_attention
 
             return xla_attention(q, k, v, bias=bias, scale=scale)
-        return _flash_kv_tiled(q, k, v, bias, scale,
-                               max(block_q, KV_TILED_TQ),
-                               max(block_k, KV_TILED_TK), interpret)
+        tq = KV_TILED_TQ if block_q == DEFAULT_TQ else block_q
+        tk = KV_TILED_TK if block_k == DEFAULT_TK else block_k
+        return _flash_kv_tiled(q, k, v, bias, scale, tq, tk, interpret)
     return _flash(q, k, v, bias, scale, block_q, interpret)
 
 

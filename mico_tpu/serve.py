@@ -68,10 +68,12 @@ class EmbeddingPipeline:
         self.batch_size = batch_size
         if io_workers is None:
             # decode is CPU-bound (the C++ decoder runs one thread per item
-            # by design — the pool IS the parallelism): size to the host
+            # by design — the pool IS the parallelism): size to the host;
+            # video decode needs ~1 core per 1.35 videos/s, so big hosts
+            # want the full core count (capped only to bound thread bloat)
             import os
 
-            io_workers = max(2, min(8, os.cpu_count() or 1))
+            io_workers = max(2, min(32, os.cpu_count() or 1))
         self.pool = ThreadPoolExecutor(max_workers=io_workers)
         self.image_proc = ImageProcessor(
             cfg.vision_resolution, cfg.vision_encoder_type, training=False

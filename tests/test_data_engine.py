@@ -88,6 +88,29 @@ def test_vision_mapper_image(corpus):
     assert z.shape == (1, 3, 64, 64) and not z.any()
 
 
+def test_vision_mapper_normalization(corpus, tmp_path):
+    """Regression: the readers return [0,1] floats ALREADY (load_image_chw
+    / read_frames_chw divide by 255 internally) — a second /255 in the
+    mapper collapsed every pixel to ~-mean/std. A pure-white image must
+    map to (1 - mean)/std per channel."""
+    import cv2
+
+    img_dir = tmp_path / "white"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "w.jpg"),
+                np.full((64, 64, 3), 255, dtype=np.uint8))
+    cfg = dict(corpus)
+    cfg["vision"] = str(img_dir)
+    m = VisionMapper(cfg, MODEL_CFG, seed=0)
+    out = m.read("w")
+    from mico_tpu.media.processors import _stats_for
+
+    mean, std = _stats_for(MODEL_CFG["vision_encoder_type"])
+    want = (1.0 - np.asarray(mean)) / np.asarray(std)
+    got = out.mean(axis=(0, 2, 3))
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+
 def test_audio_mapper_beats_and_ast(corpus):
     m = AudioMapper(corpus, MODEL_CFG, seed=0)
     out = m.read("s0")
