@@ -159,7 +159,9 @@ def generate_answers(
     mode: str = "beam",
     num_beams: int = 3,
     top_k: int = 10,
-    length_penalty: float = 0.6,
+    # the reference QA generate passes no length_penalty → HF default 1.0
+    # (data/model/vast.py:637-643; caption decode is the one that passes 0.6)
+    length_penalty: float = 1.0,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_cache: bool = True,
@@ -700,10 +702,18 @@ def cached_beam_generate(
         gathered = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
         new_tokens = gathered.at[:, :, t + 1].set(tok_idx)
 
-        pen = jnp.power(jnp.float32(t + 1), length_penalty)
-        eos_scores = jnp.where(is_eos, top_scores / pen, NEG_INF)
+        # HF BeamSearchScorer.process semantics (the stack the reference's
+        # generate() call rides, model/bert.py:1126-1143 + transformers
+        # beam_search): an EOS candidate is finalized only from the top
+        # `num_beams` ranks of the 2k-candidate list; the hypothesis keeps
+        # the EOS token; the length penalty runs over the FULL sequence
+        # length including any question prefix ([CLS]+prefix+generated,
+        # pre-4.38 full-length convention the reference ran with).
+        rank_ok = jnp.arange(2 * k)[None, :] < k
+        pen = jnp.power(jnp.float32(lq + t + 1), length_penalty)
+        eos_scores = jnp.where(is_eos & rank_ok, top_scores / pen, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
-        all_fin_tokens = jnp.concatenate([fin_tokens, gathered], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, new_tokens], axis=1)
         fin_scores, fin_keep = jax.lax.top_k(all_fin_scores, k)
         fin_tokens = jnp.take_along_axis(
             all_fin_tokens, fin_keep[:, :, None], axis=1
@@ -736,7 +746,7 @@ def cached_beam_generate(
         step, init, jnp.arange(max_new_tokens)
     )
 
-    pen = jnp.power(jnp.float32(max_new_tokens + 1), length_penalty)
+    pen = jnp.power(jnp.float32(lq + max_new_tokens + 1), length_penalty)
     final_live = live_scores / pen
     all_scores = jnp.concatenate([fin_scores, final_live], axis=1)
     all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)
@@ -848,11 +858,15 @@ def _beam_generate(
         )                                              # (b, 2k, L)
         new_tokens = gathered.at[:, :, lq + t + 1].set(tok_idx)
 
-        # finalize EOS candidates: sequence length so far = t+1 ([CLS]+t)
-        pen = jnp.power(jnp.float32(t + 1), length_penalty)
-        eos_scores = jnp.where(is_eos, top_scores / pen, NEG_INF)
+        # finalize EOS candidates — HF BeamSearchScorer.process semantics:
+        # only ranks < num_beams finalize, the hypothesis keeps its EOS, and
+        # the penalty runs over the full length (prefix + [CLS] + generated,
+        # pre-4.38 convention; see cached_beam_generate)
+        rank_ok = jnp.arange(2 * k)[None, :] < k
+        pen = jnp.power(jnp.float32(lq + t + 1), length_penalty)
+        eos_scores = jnp.where(is_eos & rank_ok, top_scores / pen, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
-        all_fin_tokens = jnp.concatenate([fin_tokens, gathered], axis=1)
+        all_fin_tokens = jnp.concatenate([fin_tokens, new_tokens], axis=1)
         fin_scores, fin_keep = jax.lax.top_k(all_fin_scores, k)
         fin_tokens = jnp.take_along_axis(
             all_fin_tokens, fin_keep[:, :, None], axis=1
@@ -873,7 +887,7 @@ def _beam_generate(
     )
 
     # close out still-live beams at full length (HF finalize)
-    pen = jnp.power(jnp.float32(max_new + 1), length_penalty)
+    pen = jnp.power(jnp.float32(lq + max_new + 1), length_penalty)
     final_live = live_scores / pen
     all_scores = jnp.concatenate([fin_scores, final_live], axis=1)
     all_tokens = jnp.concatenate([fin_tokens, tokens], axis=1)

@@ -170,6 +170,201 @@ def test_beam_not_worse_than_greedy(setup):
         assert sb >= sg - 1e-4
 
 
+class _BeamHyps426:
+    """Literal transcription of transformers-4.26 BeamHypotheses — the beam
+    container the reference's generate() call used (model/bert.py inherits
+    GenerationMixin; inference_demo.py:164-171 passes num_beams +
+    length_penalty=0.6). Penalty runs over the FULL hypothesis length
+    (hyp.shape[-1], prompt included, EOS excluded) — the pre-4.38
+    convention."""
+
+    def __init__(self, num_beams, length_penalty):
+        self.num_beams = num_beams
+        self.length_penalty = length_penalty
+        self.beams = []
+        self.worst_score = 1e9
+
+    def add(self, hyp, sum_logprobs):
+        score = sum_logprobs / (hyp.shape[-1] ** self.length_penalty)
+        if len(self.beams) < self.num_beams or score > self.worst_score:
+            self.beams.append((score, hyp))
+            if len(self.beams) > self.num_beams:
+                srt = sorted((s, i) for i, (s, _) in enumerate(self.beams))
+                del self.beams[srt[0][1]]
+                self.worst_score = srt[1][0]
+            else:
+                self.worst_score = min(score, self.worst_score)
+
+    def is_done(self, best_sum_logprobs, cur_len):
+        if len(self.beams) < self.num_beams:
+            return False
+        return (
+            self.worst_score
+            >= best_sum_logprobs / cur_len**self.length_penalty
+        )
+
+
+def reference_beam_decode(model, cond, max_new, num_beams, length_penalty,
+                          q_ids=None, q_mask=None):
+    """Transcription of the transformers-4.26 beam_search loop driving the
+    reference model's own prepare_inputs_for_generation /
+    update_attention_mask hooks (model/bert.py:1110-1143) — [MASK]-append
+    probe, 3D mask growth, BeamSearchScorer process/finalize semantics
+    (EOS finalized only from ranks < num_beams; finalize appends the EOS
+    when it fits; full-length penalty)."""
+    import types
+
+    model.tokenizer = types.SimpleNamespace(mask_token_id=MASK)
+    cond_t = torch.from_numpy(cond)
+    b = cond_t.shape[0]
+    k = num_beams
+    if q_ids is None:
+        input_ids = torch.full((b, 1), CLS, dtype=torch.long)
+        attn = torch.ones(b, 1, 1)
+    else:
+        cls_col = torch.full((b, 1), CLS, dtype=torch.long)
+        input_ids = torch.cat([q_ids, cls_col], dim=1)
+        n = q_ids.shape[1]
+        attn = (
+            q_mask[:, None, :].expand(b, n, n).clone().float()
+        )
+        attn = model.update_attention_mask(attn)
+    p_len = input_ids.shape[1]
+    max_length = p_len + max_new
+    vocab = model.config.vocab_size
+
+    input_ids = input_ids.repeat_interleave(k, dim=0)
+    attn = attn.repeat_interleave(k, dim=0)
+    cond_r = cond_t.repeat_interleave(k, dim=0)
+
+    beam_scores = torch.zeros(b, k)
+    beam_scores[:, 1:] = -1e9
+    beam_scores = beam_scores.view(-1)
+    hyps = [_BeamHyps426(k, length_penalty) for _ in range(b)]
+    done = [False] * b
+
+    while input_ids.shape[1] < max_length and not all(done):
+        inputs = model.prepare_inputs_for_generation(
+            input_ids, attention_mask=attn, encoder_hidden_states=cond_r
+        )
+        with torch.no_grad():
+            logits = model(
+                input_ids=inputs["input_ids"],
+                attention_mask=inputs["attention_mask"],
+                encoder_hidden_states=inputs["encoder_hidden_states"],
+            ).logits[:, -1, :]
+        scores = torch.log_softmax(logits.float(), dim=-1)
+        next_scores = scores + beam_scores[:, None]
+        next_scores = next_scores.view(b, k * vocab)
+        next_scores, next_tokens = torch.topk(next_scores, 2 * k, dim=1)
+        next_idx = torch.div(next_tokens, vocab, rounding_mode="floor")
+        next_tok = next_tokens % vocab
+
+        cur_len = input_ids.shape[1]
+        nb_scores = torch.zeros(b, k)
+        nb_tokens = torch.zeros(b, k, dtype=torch.long)
+        nb_indices = torch.zeros(b, k, dtype=torch.long)
+        for i in range(b):
+            if done[i]:
+                nb_scores[i] = 0
+                nb_tokens[i] = PAD
+                nb_indices[i] = 0
+                continue
+            slot = 0
+            for rank in range(2 * k):
+                tok = int(next_tok[i, rank])
+                row = i * k + int(next_idx[i, rank])
+                if tok == SEP:
+                    if rank >= k:
+                        continue
+                    hyps[i].add(
+                        input_ids[row].clone(), float(next_scores[i, rank])
+                    )
+                else:
+                    nb_scores[i, slot] = next_scores[i, rank]
+                    nb_tokens[i, slot] = tok
+                    nb_indices[i, slot] = row
+                    slot += 1
+                if slot == k:
+                    break
+            done[i] = done[i] or hyps[i].is_done(
+                float(next_scores[i].max()), cur_len
+            )
+        beam_scores = nb_scores.view(-1)
+        input_ids = torch.cat(
+            [input_ids[nb_indices.view(-1)], nb_tokens.view(-1, 1)], dim=-1
+        )
+        attn = inputs["attention_mask"]
+
+    # finalize (4.26): surviving live beams join the pool for batches not done
+    for i in range(b):
+        if done[i]:
+            continue
+        for j in range(k):
+            row = i * k + j
+            hyps[i].add(input_ids[row].clone(), float(beam_scores[row]))
+    out = torch.full((b, max_length), PAD, dtype=torch.long)
+    for i in range(b):
+        best = max(hyps[i].beams, key=lambda x: x[0])[1]
+        n = best.shape[-1]
+        out[i, :n] = best
+        if n < max_length:
+            out[i, n] = SEP
+    return out.numpy()
+
+
+@pytest.mark.parametrize("use_cache", [True, False])
+def test_beam_matches_reference_hf_beam(setup, use_cache):
+    """Exact token match vs the reference HF beam (num_beams=3,
+    length_penalty=0.6 — the demo decode, inference_demo.py:164-171) over
+    32 random conditions, covering early-EOS and max-length finalize."""
+    ref_model, _, params = setup
+    rng = np.random.default_rng(11)
+    cond = rng.standard_normal((32, 7, CFG.encoder_width)).astype(np.float32)
+    want = reference_beam_decode(
+        ref_model, cond, max_new=12, num_beams=3, length_penalty=0.6
+    )
+    got = np.asarray(
+        generate(params, CFG, jnp.asarray(cond), max_new_tokens=12,
+                 mode="beam", num_beams=3, length_penalty=0.6,
+                 use_cache=use_cache)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("use_cache", [True, False])
+def test_qa_beam_matches_reference_hf_beam(setup, use_cache):
+    """QA beam parity: question prefix prefilled via the reference's
+    update_attention_mask init (data/model/vast.py:617-650), num_beams=3,
+    default length_penalty 1.0 (the reference QA generate passes none)."""
+    from mico_tpu.generation import generate_answers
+
+    ref_model, _, params = setup
+    rng = np.random.default_rng(12)
+    b, lq = 16, 9
+    cond = rng.standard_normal((b, 7, CFG.encoder_width)).astype(np.float32)
+    q_ids = np.zeros((b, lq), np.int64)
+    q_mask = np.zeros((b, lq), np.int64)
+    for i in range(b):
+        n = int(rng.integers(4, lq + 1))
+        q_ids[i, 0] = CLS
+        q_ids[i, 1 : n - 1] = rng.integers(4, 100, (n - 2,))
+        q_ids[i, n - 1] = SEP
+        q_mask[i, :n] = 1
+    want = reference_beam_decode(
+        ref_model, cond, max_new=8, num_beams=3, length_penalty=1.0,
+        q_ids=torch.from_numpy(q_ids), q_mask=torch.from_numpy(q_mask),
+    )
+    got = np.asarray(
+        generate_answers(params, CFG, jnp.asarray(q_ids),
+                         jnp.asarray(q_mask), jnp.asarray(cond),
+                         max_new_tokens=8, mode="beam", num_beams=3,
+                         length_penalty=1.0, use_cache=use_cache)
+    )
+    # ours returns the [CLS]+answer slice; reference rows include the prefix
+    np.testing.assert_array_equal(got, want[:, lq:])
+
+
 def test_scst_sampling(setup):
     """generate_scst: grad-enabled multinomial decode returning per-step
     logP of the sampled tokens (reference model/bert.py:1231,1452-1456)."""
