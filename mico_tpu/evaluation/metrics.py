@@ -102,8 +102,18 @@ def bleu4(hyps: Sequence[str], refs: Sequence[Sequence[str]]) -> float:
 def cider_d(
     hyps: Sequence[str], refs: Sequence[Sequence[str]], sigma: float = 6.0
 ) -> float:
-    """CIDEr-D: tf-idf weighted n-gram (1..4) cosine similarity with a
-    Gaussian length penalty, averaged over n and scaled by 10."""
+    """Corpus CIDEr-D: mean of the per-sample scores."""
+    scores = cider_d_scores(hyps, refs, sigma)
+    return float(np.mean(scores)) if len(scores) else 0.0
+
+
+def cider_d_scores(
+    hyps: Sequence[str], refs: Sequence[Sequence[str]], sigma: float = 6.0
+) -> np.ndarray:
+    """Per-sample CIDEr-D: tf-idf weighted n-gram (1..4) cosine similarity
+    with a Gaussian length penalty, averaged over n and scaled by 10.
+    The per-sample vector is the SCST reward signal (the reference's
+    --scst_finetuning surface, data/utils/args.py:255)."""
     hyp_toks = [_norm_text(h) for h in hyps]
     ref_toks = [[_norm_text(r) for r in rs] for rs in refs]
     n_imgs = len(hyp_toks)
@@ -150,7 +160,7 @@ def cider_d(
                 s += sim(hv, rv, len(h), len(r))
             score_n += s / max(1, len(rs))
         scores.append(10.0 * score_n / 4)
-    return float(np.mean(scores)) if scores else 0.0
+    return np.asarray(scores, np.float64)
 
 
 # ---------------------------------------------------------------------------

@@ -81,8 +81,14 @@ def train(
         if global_step >= num_steps:
             break
         task = name.split("--")[0]
+        is_scst = task.startswith("scst")
         if task not in step_fns:
-            step_fns[task] = make_train_step(cfg, optimizer, task)
+            if is_scst:
+                from mico_tpu.train.scst import make_scst_step
+
+                step_fns[task] = make_scst_step(cfg, optimizer, task, tokenizer)
+            else:
+                step_fns[task] = make_train_step(cfg, optimizer, task)
         tb = batch_tok(batch, task)
         arrays = {
             k: jnp.asarray(v) for k, v in tb.items() if not isinstance(v, list)
@@ -97,16 +103,17 @@ def train(
                 )
             arrays = shard_batch(mesh, arrays)
         rng, sub = jax.random.split(rng)
+        if is_scst:
+            refs = tb.get("raw_captions") or batch.get("raw_captions")
+            step_args = (params, opt_state, arrays, sub, refs)
+        else:
+            step_args = (params, opt_state, arrays, sub)
         if mesh is not None:
             # ambient mesh for mesh-aware model internals (the PP shard_map)
             with jax.sharding.set_mesh(mesh):
-                params, opt_state, losses = step_fns[task](
-                    params, opt_state, arrays, sub
-                )
+                params, opt_state, losses = step_fns[task](*step_args)
         else:
-            params, opt_state, losses = step_fns[task](
-                params, opt_state, arrays, sub
-            )
+            params, opt_state, losses = step_fns[task](*step_args)
         global_step += 1
 
         for k, v in losses.items():

@@ -83,17 +83,60 @@ def shard_train_state(
     params = jax.device_put(params, jax.tree.map(to_named, specs))
 
     n_data = mesh.shape.get("data", 1)
+    p_flat, p_def = jax.tree.flatten(params)
+    # flatten only down to params' leaf positions so PartitionSpec leaves
+    # (tuple subclasses) stay whole
+    s_flat = p_def.flatten_up_to(specs)
 
-    def opt_spec(leaf):
-        if zero1 and hasattr(leaf, "shape") and n_data > 1:
+    def moment_sharding(leaf, spec):
+        """Moments mirror the param's model-axis sharding; the ZeRO-1 data
+        split then goes on the first dim the param spec leaves free and the
+        data axis divides — never on a model-sharded dim (the round-2
+        heuristic could write conflicting specs to the same dim)."""
+        axes = list(spec) + [None] * (leaf.ndim - len(spec))
+        if zero1 and n_data > 1:
             for i, d in enumerate(leaf.shape):
-                if d >= n_data and d % n_data == 0:
-                    return NamedSharding(
-                        mesh, P(*([None] * i), "data")
-                    )
-        return NamedSharding(mesh, P())
+                if axes[i] is None and d >= n_data and d % n_data == 0:
+                    axes[i] = "data"
+                    break
+        while axes and axes[-1] is None:
+            axes.pop()
+        return NamedSharding(mesh, P(*axes))
 
-    opt_state = jax.device_put(opt_state, jax.tree.map(opt_spec, opt_state))
+    def is_params_mirror(node):
+        """True for opt-state subtrees shaped like the params pytree (the
+        Adam moments). Placeholder leaves without a shape (e.g. the
+        param-group optimizer's optax.MaskedNode) are tolerated."""
+        if node is None or isinstance(node, (jnp.ndarray,)):
+            return False
+        try:
+            flat = p_def.flatten_up_to(node)
+        except (ValueError, TypeError):
+            return False
+        saw_array = False
+        for x, p in zip(flat, p_flat):
+            shape = getattr(x, "shape", None)
+            if shape is None:
+                continue
+            if shape != p.shape:
+                return False
+            saw_array = True
+        return saw_array
+
+    def shard_node(node):
+        if is_params_mirror(node):
+            return p_def.unflatten(
+                [
+                    moment_sharding(x, s) if hasattr(x, "shape") else x
+                    for x, s in zip(p_def.flatten_up_to(node), s_flat)
+                ]
+            )
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), node)
+
+    opt_shardings = jax.tree.map(
+        shard_node, opt_state, is_leaf=is_params_mirror
+    )
+    opt_state = jax.device_put(opt_state, opt_shardings)
     return params, opt_state
 
 
