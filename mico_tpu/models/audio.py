@@ -18,6 +18,11 @@ TPU-first: both are pure static-shape jit programs. The conv patch embeds
 are patch-reshape + matmul (MXU); the positional conv is one
 `lax.conv_general_dilated` with feature groups; the relative-position
 bucket index is a host-precomputed constant per sequence length.
+
+Training regularizers (dropout/attention-dropout/activation-dropout,
+LayerDrop, layer-wise gradient decay — reference beats.py:292-318,406-530
+and ast.py:55-100,200) activate when `train_rng` is passed; without it the
+forwards are the exact golden-tested eval graphs.
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mico_tpu.ops.layers import layer_norm, linear
+from mico_tpu.ops.layers import dropout, gelu, layer_norm, linear
 
 # ---------------------------------------------------------------------------
 # AST
@@ -47,6 +52,9 @@ class AstConfig:
     audio_target_length: int = 1024
     patch_size: int = 16
     ln_eps: float = 1e-12
+    # train-time regularizers (reference general_module.py:258-260 cfg)
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
 
     @property
     def tokens_per_frame(self) -> int:
@@ -55,7 +63,7 @@ class AstConfig:
         )
 
 
-def _attention(p, x, num_heads):
+def _attention(p, x, num_heads, rng=None, attn_drop=0.0):
     b, n, c = x.shape
     hd = c // num_heads
     q = linear(x, p["q_w"], p["q_b"]).reshape(b, n, num_heads, hd)
@@ -63,17 +71,24 @@ def _attention(p, x, num_heads):
     v = linear(x, p["v_w"], p["v_b"]).reshape(b, n, num_heads, hd)
     attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    if rng is not None:
+        # attention-map dropout (reference ast.py:112,128)
+        attn = dropout(rng, attn_drop, attn)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
     return linear(out, p["o_w"], p["o_b"])
 
 
 def ast_forward(
     params: Dict, cfg: AstConfig, spectrograms: jnp.ndarray,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, train_rng=None,
 ) -> jnp.ndarray:
     """(B, T, M) normalized fbank → (B, 1 + T/16·M/16, H) prenorm-LN output
     (reference ast.py:143-175 TransformerEncoder + :179-201 AudioEmbeddings;
-    token order is conv's row-major (T-patches, M-patches))."""
+    token order is conv's row-major (T-patches, M-patches)).
+
+    train_rng activates the reference regularizers: embedding dropout
+    (ast.py:200), residual dropout on both branches (ast.py:73-84) and
+    attention-map dropout, all at the cfg rates (0.1/0.1)."""
     x = spectrograms.astype(compute_dtype)
     b, t, m = x.shape
     p = cfg.patch_size
@@ -88,13 +103,26 @@ def ast_forward(
     )
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)[None, : x.shape[1]]
+    if train_rng is not None:
+        train_rng, k_emb = jax.random.split(train_rng)
+        x = dropout(k_emb, cfg.hidden_dropout, x)
 
     for lp in params["layers"]:
+        k_attn = k_r1 = k_r2 = None
+        if train_rng is not None:
+            train_rng, k_attn, k_r1, k_r2 = jax.random.split(train_rng, 4)
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps)
-        x = x + _attention(lp, h, cfg.num_attention_heads)
+        h = _attention(lp, h, cfg.num_attention_heads,
+                       rng=k_attn, attn_drop=cfg.attention_dropout)
+        if train_rng is not None:
+            h = dropout(k_r1, cfg.hidden_dropout, h)
+        x = x + h
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
-        h = jax.nn.gelu(linear(h, lp["fc1_w"], lp["fc1_b"]), approximate=False)
-        x = x + linear(h, lp["fc2_w"], lp["fc2_b"])
+        h = gelu(linear(h, lp["fc1_w"], lp["fc1_b"]))
+        h = linear(h, lp["fc2_w"], lp["fc2_b"])
+        if train_rng is not None:
+            h = dropout(k_r2, cfg.hidden_dropout, h)
+        x = x + h
     return layer_norm(
         x, params["last_ln_scale"], params["last_ln_bias"], cfg.ln_eps
     )
@@ -191,6 +219,14 @@ class BeatsConfig:
     max_distance: int = 800
     gru_rel_pos: bool = True
     ln_eps: float = 1e-5
+    # train-time regularizers (reference BEATsConfig defaults,
+    # beats.py:1055-1060; quant_noise is dead code — the reference encoder
+    # never passes q_noise > 0 to its MultiheadAttention)
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    encoder_layerdrop: float = 0.0
+    layer_wise_gradient_decay_ratio: float = 1.0
 
     @property
     def head_dim(self) -> int:
@@ -219,9 +255,10 @@ def _rel_bucket_index(n: int, num_buckets: int, max_distance: int) -> np.ndarray
     return out + np.where(is_small, rel, large)
 
 
-def _beats_attention(p, x, cfg: BeatsConfig, position_bias):
+def _beats_attention(p, x, cfg: BeatsConfig, position_bias, rng=None):
     """(B, N, C); returns (out, position_bias). Numerics follow
-    beats.py:770-918: q·scale/32, max-subtract, ×32, gated rel-pos bias."""
+    beats.py:770-918: q·scale/32, max-subtract, ×32, gated rel-pos bias.
+    rng applies attention-probability dropout (beats.py dropout_module)."""
     b, n, c = x.shape
     h, hd = cfg.encoder_attention_heads, cfg.head_dim
     alpha = 32.0
@@ -250,6 +287,8 @@ def _beats_attention(p, x, cfg: BeatsConfig, position_bias):
         attn = attn + bias.astype(attn.dtype)
 
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    if rng is not None:
+        attn = dropout(rng, cfg.attention_dropout, attn)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
     return linear(out, p["o_w"], p["o_b"]), position_bias
@@ -277,10 +316,17 @@ def _pos_conv(p, x, cfg: BeatsConfig):
 
 def beats_forward(
     params: Dict, cfg: BeatsConfig, fbank: jnp.ndarray,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, train_rng=None,
 ) -> jnp.ndarray:
     """(B, T, M) normalized fbank → (B, T/16·M/16, encoder_embed_dim)
-    (reference beats.py:1147-1169 forward)."""
+    (reference beats.py:1147-1169 forward).
+
+    train_rng activates the reference training internals (beats.py:292-318,
+    406-530): post-pos-conv dropout, per-layer attention-probability
+    dropout, residual dropout (dropout1/dropout3), FFN activation dropout
+    (dropout2), LayerDrop (no rescale, fairseq semantics), and the
+    layer-wise gradient decay multiply (identity forward, grad × ratio per
+    layer)."""
     x = fbank.astype(compute_dtype)
     b, t, m = x.shape
     ps = cfg.input_patch_size
@@ -298,8 +344,12 @@ def beats_forward(
         x = layer_norm(
             x, params["enc_ln_scale"], params["enc_ln_bias"], cfg.ln_eps
         )
+    if train_rng is not None:
+        train_rng, k_in = jax.random.split(train_rng)
+        x = dropout(k_in, cfg.dropout, x)
 
     da = cfg.deep_norm_alpha
+    decay = cfg.layer_wise_gradient_decay_ratio
     # the T5-bucketed relative bias table lives once at the top level (the
     # reference shares layer 0's nn.Embedding across layers, beats.py:325-328;
     # a single param avoids aliased leaves, which breaks buffer donation)
@@ -312,15 +362,38 @@ def beats_forward(
             n, n, cfg.encoder_attention_heads
         ).transpose(2, 0, 1)
     for lp in params["layers"]:
+        k_attn = k_d1 = k_d2 = k_d3 = k_ld = None
+        if train_rng is not None:
+            train_rng, k_attn, k_d1, k_d2, k_d3, k_ld = jax.random.split(
+                train_rng, 6
+            )
+            if decay != 1.0:
+                # GradMultiply (beats.py:381-382): identity forward,
+                # backward scales by the decay ratio, compounding per layer
+                x = x * decay + jax.lax.stop_gradient(x * (1.0 - decay))
+        x_in = x
         res = x
-        h, position_bias = _beats_attention(lp, x, cfg, position_bias)
+        h, position_bias = _beats_attention(lp, x, cfg, position_bias,
+                                            rng=k_attn)
+        if train_rng is not None:
+            h = dropout(k_d1, cfg.dropout, h)
         x = res * da + h
         x = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], cfg.ln_eps)
         res = x
-        h = jax.nn.gelu(linear(x, lp["fc1_w"], lp["fc1_b"]), approximate=False)
+        h = gelu(linear(x, lp["fc1_w"], lp["fc1_b"]))
+        if train_rng is not None:
+            h = dropout(k_d2, cfg.activation_dropout, h)
         h = linear(h, lp["fc2_w"], lp["fc2_b"])
+        if train_rng is not None:
+            h = dropout(k_d3, cfg.dropout, h)
         x = res * da + h
         x = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], cfg.ln_eps)
+        if train_rng is not None and cfg.encoder_layerdrop > 0.0:
+            # fairseq LayerDrop: whole layer skipped, no rescale
+            keep = jax.random.bernoulli(
+                k_ld, 1.0 - cfg.encoder_layerdrop, ()
+            )
+            x = jnp.where(keep, x, x_in)
     return x
 
 

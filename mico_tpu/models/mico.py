@@ -178,6 +178,7 @@ def forward_vision_encoder(
         vol = videoswin_forward(
             params["vision_encoder"], cfg.vision_tower_config,
             pixels.transpose(0, 2, 1, 3, 4), compute_dtype=compute_dtype,
+            train_rng=train_rng,
         )                                   # (b, C, D, H, W)
         bb, c, d = vol.shape[:3]
         tokens = vol.transpose(0, 2, 3, 4, 1).reshape(bb, d, -1, c)
@@ -187,7 +188,7 @@ def forward_vision_encoder(
 
         tokens = swin_forward_features(
             params["vision_encoder"], cfg.vision_tower_config, flat,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, train_rng=train_rng,
         )
     else:
         raise NotImplementedError(t)
@@ -215,13 +216,14 @@ def forward_audio_encoder(
         tokens = ast_forward(
             params["audio_encoder"], cfg.audio_tower_config,
             flat.transpose(0, 2, 1), compute_dtype=compute_dtype,
+            train_rng=train_rng,
         )
     else:
         from mico_tpu.models.audio import beats_forward
 
         tokens = beats_forward(
             params["audio_encoder"], cfg.audio_tower_config, flat,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, train_rng=train_rng,
         )
     return tokens.reshape(b, n, *tokens.shape[1:])
 

@@ -16,8 +16,10 @@ reshape/transpose (free under XLA), the relative-position bias tables are
 gathered with a host-precomputed static index, and the shifted-window mask
 is a numpy constant folded into the program. Window attention batches as
 (B·nW, heads, Nw, Nw) matmuls on the MXU; no data-dependent control flow.
-Dropout/DropPath are eval-time no-ops (parity surface is inference +
-fine-tune-style training where the reference also disables them).
+Training regularizers (dropout + the linear stochastic-depth schedule,
+reference model/swin.py:175-258 / videoswin.py:100-240) activate when a
+train_rng is passed to the forward; without one every path is the exact
+eval graph (golden-tested).
 """
 
 from __future__ import annotations
@@ -32,7 +34,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mico_tpu.ops.layers import layer_norm, linear
+from mico_tpu.ops.layers import dropout, gelu, layer_norm, linear
+
+
+def _drop_path(key, rate, x):
+    """Stochastic depth over the leading (batch) dim, rank-agnostic
+    (reference DropPath, videoswin.py:39-54 / timm): per-sample Bernoulli
+    keep scaled by 1/keep. Identity when no rng (eval) or rate 0."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros_like(x))
 
 # ---------------------------------------------------------------------------
 # configs
@@ -56,6 +70,11 @@ class SwinConfig:
     ape: bool = False
     patch_norm: bool = True
     ln_eps: float = 1e-5
+    # train-time regularizers (reference model/swin_config.py:62-64 defaults;
+    # stochastic-depth schedule linspace(0, rate, sum(depths)))
+    drop_path_rate: float = 0.1
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
     @property
     def num_layers(self) -> int:
@@ -94,6 +113,10 @@ class VideoSwinConfig:
     patch_norm: bool = True
     time_stride: int = 1
     ln_eps: float = 1e-5
+    # train-time regularizers (reference videoswin.py:388-392 defaults)
+    drop_path_rate: float = 0.2
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
 
     @property
     def num_layers(self) -> int:
@@ -208,12 +231,19 @@ def _window_reverse(wins, window, b, dims):
 # ---------------------------------------------------------------------------
 
 
-def _mlp(p, x, eps):
-    h = jax.nn.gelu(linear(x, p["fc1_w"], p["fc1_b"]), approximate=False)
+def _mlp(p, x, eps, rng=None, drop=0.0):
+    """timm Mlp: fc1 → GELU → drop → fc2 → drop (reference swin.py:57-71 /
+    videoswin.py:57-71)."""
+    h = gelu(linear(x, p["fc1_w"], p["fc1_b"]))
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
+        h = dropout(k1, drop, h)
+        return dropout(k2, drop, linear(h, p["fc2_w"], p["fc2_b"]))
     return linear(h, p["fc2_w"], p["fc2_b"])
 
 
-def _window_attention(p, x, window, num_heads, mask: Optional[np.ndarray]):
+def _window_attention(p, x, window, num_heads, mask: Optional[np.ndarray],
+                      rng=None, attn_drop=0.0, proj_drop=0.0):
     """x: (B_, Nw, C); mask: (nW, Nw, Nw) numpy or None."""
     b_, n, c = x.shape
     head_dim = c // num_heads
@@ -234,12 +264,20 @@ def _window_attention(p, x, window, num_heads, mask: Optional[np.ndarray]):
         attn = attn.reshape(b_, num_heads, n, n)
 
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+    if rng is not None:
+        ka, kp = jax.random.split(rng)
+        # attention-probability dropout (reference WindowAttention.attn_drop)
+        attn = dropout(ka, attn_drop, attn)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-    return linear(out, p["proj_w"], p["proj_b"])
+    out = linear(out, p["proj_w"], p["proj_b"])
+    if rng is not None:
+        out = dropout(kp, proj_drop, out)
+    return out
 
 
-def _swin_block(p, x, dims, window, shift, num_heads, eps):
+def _swin_block(p, x, dims, window, shift, num_heads, eps,
+                rng=None, dp_rate=0.0, drop=0.0, attn_drop=0.0):
     """x: (B, *dims, C). Pads to window multiples (3D path; 2D is exact),
     rolls for the shift, window-attends, reverses."""
     b = x.shape[0]
@@ -260,17 +298,25 @@ def _swin_block(p, x, dims, window, shift, num_heads, eps):
         x = jnp.roll(x, [-s for s in shift], axis=tuple(range(1, 1 + len(dims))))
     mask = shift_attn_mask(padded, window, shift)
     nw_tokens = reduce(mul, window)
+    if rng is None:
+        k_attn = k_dp1 = k_mlp = k_dp2 = None
+    else:
+        k_attn, k_dp1, k_mlp, k_dp2 = jax.random.split(rng, 4)
     wins = _window_partition(x, window).reshape(-1, nw_tokens, c)
-    wins = _window_attention(p["attn"], wins, window, num_heads, mask)
+    wins = _window_attention(p["attn"], wins, window, num_heads, mask,
+                             rng=k_attn, attn_drop=attn_drop, proj_drop=drop)
     x = _window_reverse(wins.reshape(-1, *window, c), window, b, padded)
     if any(shift):
         x = jnp.roll(x, list(shift), axis=tuple(range(1, 1 + len(dims))))
     if padded != tuple(dims):
         x = x[tuple([slice(None)] + [slice(0, d) for d in dims])]
 
-    x = shortcut + x
+    # stochastic depth on both residual branches (reference swin.py:252-258)
+    x = shortcut + _drop_path(k_dp1, dp_rate, x)
     h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], eps)
-    return x + _mlp(p["mlp"], h, eps)
+    return x + _drop_path(
+        k_dp2, dp_rate, _mlp(p["mlp"], h, eps, rng=k_mlp, drop=drop)
+    )
 
 
 def _patch_merging(p, x, eps):
@@ -295,10 +341,14 @@ def _patch_merging(p, x, eps):
 
 def swin_forward_features(
     params: Dict, cfg: SwinConfig, pixels: jnp.ndarray,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """(B, 3, H, W) → (B, L, num_features) final-LN token sequence
-    (reference model/swin.py:588-606)."""
+    (reference model/swin.py:588-606).
+
+    train_rng activates the reference training regularizers: pos dropout,
+    per-block attn/proj/MLP dropout, and the linear stochastic-depth
+    schedule up to cfg.drop_path_rate (model/swin.py:520-536)."""
     x = pixels.astype(compute_dtype)
     b = x.shape[0]
     p, ph = cfg.patch_size, cfg.patches_resolution
@@ -313,18 +363,29 @@ def swin_forward_features(
         )
     if cfg.ape:
         x = x + params["absolute_pos_embed"].astype(x.dtype)
+    if train_rng is not None:
+        train_rng, k_pos = jax.random.split(train_rng)
+        x = dropout(k_pos, cfg.drop_rate, x)
+    dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
 
     dims = list(cfg.patches_resolution)
+    blk = 0
     for i, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
         stage = params["layers"][i]
         x = x.reshape(b, *dims, x.shape[-1])
         for j in range(depth):
             shift = 0 if j % 2 == 0 else cfg.window_size // 2
+            k_blk = None
+            if train_rng is not None:
+                train_rng, k_blk = jax.random.split(train_rng)
             x = _swin_block(
                 stage["blocks"][j], x, tuple(dims),
                 (cfg.window_size, cfg.window_size), (shift, shift),
                 heads, cfg.ln_eps,
+                rng=k_blk, dp_rate=float(dpr[blk]),
+                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
             )
+            blk += 1
         x = x.reshape(b, dims[0] * dims[1], -1)
         if i < cfg.num_layers - 1:
             x = x.reshape(b, *dims, x.shape[-1])
@@ -334,11 +395,13 @@ def swin_forward_features(
     return layer_norm(x, params["norm_scale"], params["norm_bias"], cfg.ln_eps)
 
 
-def swin_encode_audio(params, cfg, spec, compute_dtype=jnp.float32):
+def swin_encode_audio(params, cfg, spec, compute_dtype=jnp.float32,
+                      train_rng: Optional[jax.Array] = None):
     """(B, 1, T, M) spectrogram → 3-channel repeat → forward_features
     (reference model/swin.py:602-606)."""
     return swin_forward_features(
-        params, cfg, jnp.repeat(spec, 3, axis=1), compute_dtype
+        params, cfg, jnp.repeat(spec, 3, axis=1), compute_dtype,
+        train_rng=train_rng,
     )
 
 
@@ -349,10 +412,12 @@ def swin_encode_audio(params, cfg, spec, compute_dtype=jnp.float32):
 
 def videoswin_forward(
     params: Dict, cfg: VideoSwinConfig, video: jnp.ndarray,
-    compute_dtype=jnp.float32,
+    compute_dtype=jnp.float32, train_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """(B, 3, D, H, W) → (B, num_features, D', H', W') feature volume
-    (reference videoswin.py:441-457)."""
+    (reference videoswin.py:441-457). train_rng activates pos dropout +
+    per-block regularizers + the stochastic-depth schedule
+    (videoswin.py:388-430)."""
     x = video.astype(compute_dtype)
     b, c, d, h, w = x.shape
     pt, ph, pw = cfg.patch_size
@@ -382,6 +447,11 @@ def videoswin_forward(
 
     dims = [dt, h2, w2]
     x = x.reshape(b, *dims, cfg.embed_dim)
+    if train_rng is not None:
+        train_rng, k_pos = jax.random.split(train_rng)
+        x = dropout(k_pos, cfg.drop_rate, x)
+    dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
+    blk = 0
     for i, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
         stage = params["layers"][i]
         for j in range(depth):
@@ -389,10 +459,16 @@ def videoswin_forward(
                 (0, 0, 0) if j % 2 == 0
                 else tuple(wd // 2 for wd in cfg.window_size)
             )
+            k_blk = None
+            if train_rng is not None:
+                train_rng, k_blk = jax.random.split(train_rng)
             x = _swin_block(
                 stage["blocks"][j], x, tuple(dims), cfg.window_size,
                 shift, heads, cfg.ln_eps,
+                rng=k_blk, dp_rate=float(dpr[blk]),
+                drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
             )
+            blk += 1
         if i < cfg.num_layers - 1:
             # PatchMerging over H/W only, per frame (videoswin.py:246-266)
             bb, dd = x.shape[0], x.shape[1]

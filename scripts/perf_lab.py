@@ -98,6 +98,7 @@ VARIANTS = {
     "batch224": dict(b=224),
     "batch224_bar": dict(b=224, barrier=True),
     "batch56": dict(b=56),
+    "batch168": dict(b=168),
     "attn_xla": dict(attn_impl="xla"),
     "ln_bf16": dict(ln_bf16=True),
     "folded": dict(folded=True),

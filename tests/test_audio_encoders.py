@@ -137,3 +137,82 @@ def test_init_shapes():
     p = init_beats(jax.random.PRNGKey(0), BEATS_CFG)
     out = beats_forward(p, BEATS_CFG, jnp.zeros((1, 64, 32), jnp.float32))
     assert out.shape == (1, (64 // 16) * (32 // 16), 48)
+
+
+def test_ast_train_regularizers_contract():
+    """train_rng → reference dropout placements (ast.py:73-84,200);
+    no rng → exact eval graph (round-2 VERDICT missing #1)."""
+    p = init_ast(jax.random.PRNGKey(0), AST_CFG)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 64, 32)), jnp.float32
+    )
+    base = ast_forward(p, AST_CFG, x)
+    np.testing.assert_array_equal(
+        np.asarray(base), np.asarray(ast_forward(p, AST_CFG, x, train_rng=None))
+    )
+    t1 = ast_forward(p, AST_CFG, x, train_rng=jax.random.PRNGKey(1))
+    t2 = ast_forward(p, AST_CFG, x, train_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(base), np.asarray(t1))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    import dataclasses
+
+    cfg0 = dataclasses.replace(AST_CFG, hidden_dropout=0.0,
+                               attention_dropout=0.0)
+    t0 = ast_forward(p, cfg0, x, train_rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(t0),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_beats_train_regularizers_contract():
+    """BEATs train internals: dropout + LayerDrop + gradient decay
+    (reference beats.py:292-318,381-382,406-530)."""
+    import dataclasses
+
+    p = init_beats(jax.random.PRNGKey(0), BEATS_CFG)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 64, 32)), jnp.float32
+    )
+    base = beats_forward(p, BEATS_CFG, x)
+    t1 = beats_forward(p, BEATS_CFG, x, train_rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(base), np.asarray(t1))
+    cfg0 = dataclasses.replace(BEATS_CFG, dropout=0.0, attention_dropout=0.0,
+                               activation_dropout=0.0)
+    t0 = beats_forward(p, cfg0, x, train_rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(t0),
+                               rtol=1e-6, atol=1e-6)
+
+    # layer-wise gradient decay: identity forward, grads scaled by r^depth
+    # on the input-side params relative to the no-decay run
+    cfg_decay = dataclasses.replace(cfg0, layer_wise_gradient_decay_ratio=0.5)
+
+    def loss(params, cfg):
+        out = beats_forward(params, cfg, x, train_rng=jax.random.PRNGKey(1))
+        return jnp.sum(out * out)
+
+    np.testing.assert_allclose(
+        float(loss(p, cfg0)), float(loss(p, cfg_decay)), rtol=1e-6
+    )
+    g0 = jax.grad(loss)(p, cfg0)
+    g1 = jax.grad(loss)(p, cfg_decay)
+    # the patch-embed projection sits below every decay multiply: its grad
+    # shrinks; the last layer's fc2 sits above all of them: unchanged
+    r0 = float(jnp.abs(g1["patch_w"]).sum() / jnp.abs(g0["patch_w"]).sum())
+    assert r0 < 0.6
+    lw0 = jnp.abs(g0["layers"][-1]["fc2_w"]).sum()
+    lw1 = jnp.abs(g1["layers"][-1]["fc2_w"]).sum()
+    np.testing.assert_allclose(float(lw0), float(lw1), rtol=1e-5)
+
+
+def test_beats_layerdrop_skips_layers():
+    import dataclasses
+
+    cfg = dataclasses.replace(BEATS_CFG, dropout=0.0, attention_dropout=0.0,
+                              activation_dropout=0.0, encoder_layerdrop=0.99)
+    p = init_beats(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 32)), jnp.float32
+    )
+    base = beats_forward(p, BEATS_CFG, x)
+    dropped = beats_forward(p, cfg, x, train_rng=jax.random.PRNGKey(3))
+    # with p=0.99 both layers almost surely skip → differs from full forward
+    assert not np.allclose(np.asarray(base), np.asarray(dropped))

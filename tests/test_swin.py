@@ -160,3 +160,46 @@ def test_init_shapes_roundtrip():
     p3 = init_videoswin(jax.random.PRNGKey(0), CFG3D)
     out = videoswin_forward(p3, CFG3D, jnp.zeros((1, 3, 4, 56, 56), jnp.float32))
     assert out.shape[:2] == (1, CFG3D.num_features)
+
+
+def test_swin_train_regularizers_contract():
+    """train_rng activates dropout + the stochastic-depth schedule
+    (reference model/swin.py:175-258); no rng → exact eval graph."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG2D, drop_path_rate=0.5, drop_rate=0.1,
+                              attn_drop_rate=0.1)
+    p = init_swin(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 3, 56, 56)), jnp.float32
+    )
+    base = swin_forward_features(p, cfg, x)
+    eval_again = swin_forward_features(p, cfg, x, train_rng=None)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(eval_again))
+    t1 = swin_forward_features(p, cfg, x, train_rng=jax.random.PRNGKey(1))
+    t2 = swin_forward_features(p, cfg, x, train_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(base), np.asarray(t1))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    # rates=0 + rng == eval graph exactly
+    cfg0 = dataclasses.replace(CFG2D, drop_path_rate=0.0, drop_rate=0.0,
+                               attn_drop_rate=0.0)
+    t0 = swin_forward_features(p, cfg0, x, train_rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(t0), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_videoswin_train_regularizers_contract():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG3D, drop_path_rate=0.5, drop_rate=0.1)
+    p = init_videoswin(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3, 4, 56, 56)),
+        jnp.float32,
+    )
+    base = videoswin_forward(p, cfg, x)
+    t1 = videoswin_forward(p, cfg, x, train_rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(base), np.asarray(t1))
+    # magnitude sanity: inverted dropout keeps the scale in the same ballpark
+    assert 0.3 < float(jnp.std(t1) / jnp.std(base)) < 3.0
