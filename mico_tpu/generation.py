@@ -96,7 +96,7 @@ def _decode_logits(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "mode", "num_beams", "top_k",
-        "length_penalty", "compute_dtype", "use_cache",
+        "length_penalty", "compute_dtype", "use_cache", "int8_cross_kv",
     ),
 )
 def generate(
@@ -112,6 +112,7 @@ def generate(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_cache: bool = True,
+    int8_cross_kv: bool = False,
 ) -> jnp.ndarray:
     """→ (B, max_new_tokens + 1) token ids starting with [CLS]; generated
     tokens padded with [PAD] after [SEP].
@@ -124,7 +125,7 @@ def generate(
             return cached_beam_generate(
                 params, cfg, condition_feat, max_new_tokens=max_new_tokens,
                 num_beams=num_beams, length_penalty=length_penalty,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, int8_cross_kv=int8_cross_kv,
             )
         return _beam_generate(
             params, cfg, condition_feat, max_new_tokens, num_beams,
@@ -134,6 +135,7 @@ def generate(
         return cached_generate(
             params, cfg, condition_feat, max_new_tokens=max_new_tokens,
             mode=mode, top_k=top_k, rng=rng, compute_dtype=compute_dtype,
+            int8_cross_kv=int8_cross_kv,
         )
     return _sequential_generate(
         params, cfg, condition_feat, max_new_tokens, mode, top_k, rng,
@@ -145,7 +147,7 @@ def generate(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "mode", "num_beams", "top_k",
-        "length_penalty", "compute_dtype", "use_cache",
+        "length_penalty", "compute_dtype", "use_cache", "int8_cross_kv",
     ),
 )
 def generate_answers(
@@ -165,6 +167,7 @@ def generate_answers(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_cache: bool = True,
+    int8_cross_kv: bool = False,
 ) -> jnp.ndarray:
     """QA decoding: question prefix encoded bidirectionally, answer decoded
     causally after a [CLS] (the reference part-causal mask + generate flow,
@@ -178,6 +181,7 @@ def generate_answers(
                 num_beams=num_beams, length_penalty=length_penalty,
                 compute_dtype=compute_dtype,
                 prefix_ids=question_ids, prefix_mask=question_mask,
+                int8_cross_kv=int8_cross_kv,
             )
         return _beam_generate(
             params, cfg, condition_feat, max_new_tokens, num_beams,
@@ -188,7 +192,7 @@ def generate_answers(
         return cached_generate_answers(
             params, cfg, question_ids, question_mask, condition_feat,
             max_new_tokens=max_new_tokens, mode=mode, top_k=top_k, rng=rng,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, int8_cross_kv=int8_cross_kv,
         )
     return _sequential_generate(
         params, cfg, condition_feat, max_new_tokens, mode, top_k, rng,
@@ -304,14 +308,25 @@ def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias, n_rep=1):
         x + linear(o, lp["attn_out_w"], lp["attn_out_b"]),
         lp["attn_ln_w"], lp["attn_ln_b"], cfg.layer_norm_eps,
     )
-    # cross-attention over the precomputed condition K/V
+    # cross-attention over the precomputed condition K/V. An (int8, scales)
+    # tuple routes to the dequant-fused Pallas kernel (ops/int8_attention) —
+    # the HBM stream that dominates the decode step halves
+    def cross(q2):
+        if isinstance(xk, tuple):
+            from mico_tpu.ops.int8_attention import int8_cross_attention
+
+            return int8_cross_attention(
+                q2, xk[0], xk[1], xv[0], xv[1], cfg.num_attention_heads
+            )
+        return _cross_mha(q2, xk, xv, cfg)
+
     xq = linear(x, lp["xq_w"], lp["xq_b"])
     if n_rep > 1:
         lq = xq.shape[1]
         xq = xq.reshape(b // n_rep, n_rep * lq, h)
-        o = _cross_mha(xq, xk, xv, cfg).reshape(b, lq, h)
+        o = cross(xq).reshape(b, lq, h)
     else:
-        o = mha(xq, xk, xv, None)
+        o = cross(xq)
     x = layer_norm(
         x + linear(o, lp["x_out_w"], lp["x_out_b"]),
         lp["x_ln_w"], lp["x_ln_b"], cfg.layer_norm_eps,
@@ -363,6 +378,22 @@ def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1):
     return x, tuple(new_ck), tuple(new_cv)
 
 
+def _maybe_quantize_cross(xk, xv, cfg, enable):
+    """Optionally int8-quantize the per-layer cross K/V tuples (the decode
+    step's dominant HBM stream — ops/int8_attention). Each layer entry
+    becomes an (int8 values, fp32 scales) pair that _cached_layer_step
+    routes to the dequant-fused kernel."""
+    if not enable:
+        return xk, xv
+    from mico_tpu.ops.int8_attention import quantize_kv
+
+    nh = cfg.num_attention_heads
+    return (
+        tuple(quantize_kv(k, nh) for k in xk),
+        tuple(quantize_kv(v, nh) for v in xv),
+    )
+
+
 def cached_generate(
     params: dict,
     cfg: BertConfig,
@@ -374,6 +405,7 @@ def cached_generate(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     return_logp: bool = False,
+    int8_cross_kv: bool = False,
 ):
     """KV-cached decode, output-identical to `generate(mode=greedy|sample)`
     at a fraction of the FLOPs (2 positions/step instead of the full
@@ -390,6 +422,7 @@ def cached_generate(
     xk, xv = _cross_kv(params, cond)
     xk = _unstack(xk.astype(compute_dtype), n_layers)
     xv = _unstack(xv.astype(compute_dtype), n_layers)
+    xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
     ck0 = tuple(
         jnp.zeros((b, lmax, h), compute_dtype) for _ in range(n_layers)
@@ -529,6 +562,7 @@ def cached_generate_answers(
     top_k: int = 10,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    int8_cross_kv: bool = False,
 ) -> jnp.ndarray:
     """KV-cached part-causal QA decode, output-identical to
     `generate_answers(mode=greedy|sample)`: the question prefix is encoded
@@ -544,6 +578,7 @@ def cached_generate_answers(
     ck, cv, xk, xv = _prefill_prefix(
         params, cfg, question_ids, question_mask, cond, total, compute_dtype
     )
+    xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
     tokens0 = jnp.full((b, lmax), BERT_PAD_ID, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(BERT_CLS_ID)
@@ -612,6 +647,7 @@ def cached_beam_generate(
     compute_dtype=jnp.float32,
     prefix_ids: Optional[jnp.ndarray] = None,
     prefix_mask: Optional[jnp.ndarray] = None,
+    int8_cross_kv: bool = False,
 ) -> jnp.ndarray:
     """KV-cached beam search, output-identical to the recompute
     `_beam_generate`: beams live as (B·k) cache rows; after each beam
@@ -652,6 +688,7 @@ def cached_beam_generate(
             jnp.zeros((bk, total, h), compute_dtype) for _ in range(n_layers)
         )
         pfx_cols = None
+    xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
     tokens0 = jnp.full((b, k, lmax), BERT_PAD_ID, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(BERT_CLS_ID)

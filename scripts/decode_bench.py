@@ -45,7 +45,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--preset", default="vision", choices=sorted(PRESETS))
     ap.add_argument("--profile", default="")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 cross-K/V via the dequant-fused Pallas kernel")
     args = ap.parse_args()
+    i8 = bool(args.int8)
     dtype = jnp.dtype(args.dtype)
     preset = PRESETS[args.preset]
     B = preset["b"]
@@ -70,7 +73,7 @@ def main():
             return cached_generate_answers(
                 params, cfg, q_ids, q_mask, cond,
                 max_new_tokens=new_tokens, mode="greedy",
-                compute_dtype=dtype,
+                compute_dtype=dtype, int8_cross_kv=i8,
             )
 
         @jax.jit
@@ -79,20 +82,21 @@ def main():
             return cached_beam_generate(
                 params, cfg, cond, max_new_tokens=new_tokens, num_beams=3,
                 compute_dtype=dtype, prefix_ids=q_ids, prefix_mask=q_mask,
+                int8_cross_kv=i8,
             )
 
     @jax.jit
     def run_sample(params, cond, rng):
         return cached_generate(
             params, cfg, cond, max_new_tokens=new_tokens, mode="sample",
-            top_k=10, rng=rng, compute_dtype=dtype,
+            top_k=10, rng=rng, compute_dtype=dtype, int8_cross_kv=i8,
         )
 
     @jax.jit
     def run_beam(params, cond):
         return cached_beam_generate(
             params, cfg, cond, max_new_tokens=new_tokens, num_beams=3,
-            compute_dtype=dtype,
+            compute_dtype=dtype, int8_cross_kv=i8,
         )
 
     import numpy as np
