@@ -52,6 +52,7 @@ def compute_features(
     batch: Dict[str, jnp.ndarray],
     modalities: str,
     train_rng: Optional[jax.Array] = None,
+    cache: Optional[dict] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Compute encoder outputs, pooled contra features, and condition feats
     for the given fused-modality string ('v', 'a', 'va', 'vs', 'vas', ...).
@@ -62,53 +63,73 @@ def compute_features(
 
     train_rng (training only) activates the encoders' stochastic
     regularizers: EVA DropPath/PatchDropout and BERT dropout 0.1.
+
+    cache: a per-step dict memoizing tower outputs across fused-modality
+    groups and subtasks — the reference's `batch_get` semantics
+    (vast.py:81-314): each encoder runs ONCE per train step (one dropout
+    pattern, shared activations), however many subtasks consume it. Callers
+    iterating subtasks must pass the SAME cache and train_rng to every call.
     """
     out: Dict[str, jnp.ndarray] = {}
     pooled = {}
     ks = {}
+    if cache is None:
+        cache = {}
     if train_rng is not None:
         keys = jax.random.split(train_rng, 4)
         ks = dict(zip("vads", keys))
 
     if "v" in modalities or "i" in modalities:
-        vis = mico_mod.forward_vision_encoder(
-            params, cfg, batch["vision_pixels"], train_rng=ks.get("v")
-        )
-        feat = mico_mod.pool_vision_for_contra(cfg, vis)
-        cond = mico_mod.get_multimodal_forward_input_vision(params, cfg, vis)
+        if "vision" not in cache:
+            vis = mico_mod.forward_vision_encoder(
+                params, cfg, batch["vision_pixels"], train_rng=ks.get("v")
+            )
+            cache["vision"] = (
+                mico_mod.pool_vision_for_contra(cfg, vis),
+                mico_mod.get_multimodal_forward_input_vision(params, cfg, vis),
+            )
+        feat, cond = cache["vision"]
         # 'i' is MiCo's image alias for the fused image+depth ('id') head
         for m in ("v", "i"):
             if m in modalities:
                 pooled[m] = feat
                 out[f"condition_feats_{m}"] = cond
     if "a" in modalities:
-        aud = mico_mod.forward_audio_encoder(
-            params, cfg, batch["audio_spectrograms"], train_rng=ks.get("a")
-        )
-        pooled["a"] = mico_mod.pool_audio_for_contra(cfg, aud)
-        out["condition_feats_a"] = mico_mod.get_multimodal_forward_input_audio(
-            params, cfg, aud
-        )
+        if "audio" not in cache:
+            aud = mico_mod.forward_audio_encoder(
+                params, cfg, batch["audio_spectrograms"], train_rng=ks.get("a")
+            )
+            cache["audio"] = (
+                mico_mod.pool_audio_for_contra(cfg, aud),
+                mico_mod.get_multimodal_forward_input_audio(params, cfg, aud),
+            )
+        pooled["a"], out["condition_feats_a"] = cache["audio"]
     if "d" in modalities:
         # depth maps as 3-channel pixels through the shared encoder
         # (model/mico.py:145-148; MiCo's I+V+A+D omni-modal recipe — VAST
         # itself has no depth branch, the 'id' fused head is MiCo's)
-        dep = mico_mod.forward_depth_encoder(
-            params, cfg, batch["depth_pixels"], train_rng=ks.get("d")
-        )
-        pooled["d"] = mico_mod.pool_depth_for_contra(cfg, dep)
-        out["condition_feats_d"] = mico_mod.get_multimodal_forward_input_depth(
-            params, cfg, dep
-        )
+        if "depth" not in cache:
+            dep = mico_mod.forward_depth_encoder(
+                params, cfg, batch["depth_pixels"], train_rng=ks.get("d")
+            )
+            cache["depth"] = (
+                mico_mod.pool_depth_for_contra(cfg, dep),
+                mico_mod.get_multimodal_forward_input_depth(params, cfg, dep),
+            )
+        pooled["d"], out["condition_feats_d"] = cache["depth"]
     if "s" in modalities:
-        sub = mico_mod.forward_multimodal_encoder(
-            params, cfg, batch["subtitle_ids"], batch["subtitle_mask"],
-            train_rng=ks.get("s"),
-        ).sequence_output
-        pooled["s"] = mico_mod.pool_text_for_contra(sub)
-        out["condition_feats_s"] = mico_mod.get_multimodal_forward_input_subtitle(
-            params, cfg, sub
-        )
+        if "subtitle" not in cache:
+            sub = mico_mod.forward_multimodal_encoder(
+                params, cfg, batch["subtitle_ids"], batch["subtitle_mask"],
+                train_rng=ks.get("s"),
+            ).sequence_output
+            cache["subtitle"] = (
+                mico_mod.pool_text_for_contra(sub),
+                mico_mod.get_multimodal_forward_input_subtitle(
+                    params, cfg, sub
+                ),
+            )
+        pooled["s"], out["condition_feats_s"] = cache["subtitle"]
 
     # fused condition feats: token-wise concat (vast.py:102-119)
     if f"condition_feats_{modalities}" not in out:
@@ -367,17 +388,24 @@ def task_losses(
     axis_name: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """task: reference grammar, e.g. 'ret%tva' / 'cap%tv%tva' / 'qa%tva'
-    (vast.py:317-371). Returns the loss dict."""
+    (vast.py:317-371). Returns the loss dict.
+
+    Encoder towers run ONCE per step however many subtasks/groups consume
+    them — the reference's memoized `batch_get` (vast.py:81-314): one
+    feature cache + one feature rng shared across every compute_features
+    call (one dropout pattern per tower per step, shared activations)."""
     losses: Dict[str, jnp.ndarray] = {}
+    rng, k_feat = jax.random.split(rng)
+    feat_cache: dict = {}
     for sub in task.split("_"):
         parts = sub.split("%")
         kind, groups = parts[0], parts[1:]
         feats = {}
         for g in groups:
             mods = g[1:]  # strip leading 't'
-            rng, k = jax.random.split(rng)
             feats.update(
-                compute_features(params, cfg, batch, mods, train_rng=k)
+                compute_features(params, cfg, batch, mods,
+                                 train_rng=k_feat, cache=feat_cache)
             )
 
         if kind == "ret":

@@ -35,13 +35,15 @@ def vit_flops(b, cfg):
 
 def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
                 barrier: bool = False, ln_bf16: bool = False,
-                folded: bool = False):
+                folded: bool = False, cls_split: bool = True):
     from mico_tpu import config as cfg_mod
     from mico_tpu.models import eva_vit
+    from mico_tpu.ops import flash_attention as fa
     from mico_tpu.ops import layers
 
     layers.BARRIER_AFTER_LN = barrier
     layers.LN_STATS_DTYPE = jnp.bfloat16 if ln_bf16 else jnp.float32
+    fa.PACKED_CLS_SPLIT = cls_split
     try:
         _run_variant(name, b, attn_impl, folded)
     finally:
@@ -49,6 +51,7 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
         # later variants in the same process must not inherit them
         layers.BARRIER_AFTER_LN = False
         layers.LN_STATS_DTYPE = jnp.float32
+        fa.PACKED_CLS_SPLIT = True
 
 
 def _run_variant(name, b, attn_impl, folded):
@@ -100,6 +103,7 @@ VARIANTS = {
     "batch56": dict(b=56),
     "batch168": dict(b=168),
     "attn_xla": dict(attn_impl="xla"),
+    "attn_nosplit": dict(cls_split=False),
     "ln_bf16": dict(ln_bf16=True),
     "folded": dict(folded=True),
 }

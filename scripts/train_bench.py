@@ -25,22 +25,82 @@ import numpy as np
 
 
 def analytic_train_flops(b, n_frames, cap_len, cfg, bert):
-    """matmul flops: forward x3 (one fwd + ~2x in bwd)."""
+    """matmul flops for the cap%tv step: forward x3 (one fwd + ~2x bwd)."""
+    return mix_train_flops(
+        b, cfg, bert, "cap%tv",
+        n_frames=n_frames, n_audio=0, n_depth=0,
+        cap_len=cap_len, sub_len=0, q_len=0, ans_len=0,
+    )
+
+
+def mix_train_flops(b, cfg, bert, task, *, n_frames, n_audio, n_depth,
+                    cap_len, sub_len, q_len, ans_len):
+    """Analytic matmul FLOPs for an arbitrary reference task mix, matching
+    the memoized-feature execution (each tower runs ONCE per step —
+    objectives.task_losses / reference batch_get):
+
+      towers:   shared ViT over vision+audio+depth frames; BERT subtitle
+                pass when 's' appears in any group
+      per sub:  ITC text-feature pass; ITM 3×bs cross-attn pass per group;
+                CAP masked-LM pass per group; QA part-causal pass per group
+    ×3 for the backward."""
     l, w, h, d = cfg.seq_len, cfg.width, cfg.mlp_hidden, cfg.layers
-    vit_fwd = b * n_frames * d * (
-        2 * l * w * (4 * w) + 2 * 2 * l * l * w + 2 * 2 * l * w * h
-    )
-    # BERT-base: self-attn + cross-attn over n_frames*257 cond tokens + FFN
-    bw, bl, bd = bert.hidden_size, cap_len, bert.num_hidden_layers
-    cond = n_frames * l
-    bert_fwd = b * bd * (
-        2 * bl * bw * (4 * bw)            # qkv + proj (self)
-        + 2 * 2 * bl * bl * bw            # self scores+pv
-        + 2 * bl * bw * bw + 2 * cond * bw * bw * 2   # cross q + cross kv
-        + 2 * 2 * bl * cond * bw          # cross scores+pv
-        + 2 * 2 * bl * bw * bert.intermediate_size
-    )
-    return 3 * (vit_fwd + bert_fwd)
+    bw, bd, bi = bert.hidden_size, bert.num_hidden_layers, bert.intermediate_size
+
+    def vit(frames):
+        return frames * d * (
+            2 * l * w * (4 * w) + 2 * 2 * l * l * w + 2 * 2 * l * w * h
+        )
+
+    def bert_pass(rows, seq, cond):
+        per_layer = (
+            2 * seq * bw * (4 * bw)           # self qkv + proj
+            + 2 * 2 * seq * seq * bw          # self scores + pv
+            + 2 * seq * bw * bi * 2           # FFN
+        )
+        if cond:
+            per_layer += (
+                2 * seq * bw * bw             # cross q
+                + 2 * cond * bw * bw * 2      # cross k/v projections
+                + 2 * 2 * seq * cond * bw     # cross scores + pv
+                + 2 * seq * bw * bw           # cross out
+            )
+        return rows * bd * per_layer
+
+    subs = [s.split("%") for s in task.split("_")]
+    all_groups = {g for _, *gs in subs for g in gs}
+    mods_used = {m for g in all_groups for m in g[1:]}
+
+    def cond_tokens(group):
+        per = {"v": n_frames * l, "i": n_frames * l, "a": n_audio * l,
+               "d": n_depth * l, "s": sub_len}
+        return sum(per[m] for m in group[1:])
+
+    fl = 0
+    # towers, once (memoized batch_get)
+    tower_frames = 0
+    if mods_used & {"v", "i"}:
+        tower_frames += n_frames
+    if "a" in mods_used:
+        tower_frames += n_audio
+    if "d" in mods_used:
+        tower_frames += n_depth
+    fl += b * vit(tower_frames)
+    if "s" in mods_used:
+        fl += bert_pass(b, sub_len, 0)
+
+    for kind, *groups in subs:
+        if kind == "ret":
+            fl += bert_pass(b, cap_len, 0)            # ITC text feature
+            for g in groups:                          # ITM 3×bs per group
+                fl += bert_pass(3 * b, cap_len, cond_tokens(g))
+        elif kind == "cap":
+            for g in groups:
+                fl += bert_pass(b, cap_len, cond_tokens(g))
+        elif kind == "qa":
+            for g in groups:
+                fl += bert_pass(b, q_len + ans_len, cond_tokens(g))
+    return 3 * fl
 
 
 def main():
@@ -49,6 +109,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--task", default="cap%tv")
+    ap.add_argument("--mix", action="store_true",
+                    help="the production pretraining mix "
+                         "(ret%%tva%%tid_cap%%tvas_qa%%tva — the "
+                         "MULTICHIP dryrun task) at the given batch")
+    ap.add_argument("--audio-slices", type=int, default=2)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None)
     ap.add_argument("--steps", type=int, default=4)
@@ -65,11 +130,15 @@ def main():
     from mico_tpu.train.train_step import make_train_step
 
     fa.PALLAS_BWD = not args.xla_bwd
+    if args.mix:
+        args.task = "ret%tva%tid_cap%tvas_qa%tva"
 
     cfg = MiCoConfig(
         vision_encoder_type="evaclip01_giant",
         compute_dtype="bfloat16",
         max_vision_sample_num=args.frames,
+        max_audio_sample_num=args.audio_slices,
+        max_depth_sample_num=args.frames,
         use_flash_attention=True,
         checkpointing=args.remat,
         remat_policy=args.remat_policy,
@@ -94,6 +163,32 @@ def main():
         ),
         "caption_mask": jnp.ones((b, cfg.max_caption_len), jnp.int32),
     }
+    mods_used = {m for sub in args.task.split("_")
+                 for g in sub.split("%")[1:] for m in g[1:]}
+    q_len, ans_len = 25, 6
+    if "a" in mods_used:
+        batch["audio_spectrograms"] = jnp.asarray(
+            rng.standard_normal((b, args.audio_slices, 224, 224)),
+            jnp.bfloat16,
+        )
+    if "d" in mods_used:
+        batch["depth_pixels"] = jnp.asarray(
+            rng.standard_normal((b, args.frames, 3, 224, 224)), jnp.bfloat16
+        )
+    if "s" in mods_used:
+        batch["subtitle_ids"] = jnp.asarray(
+            rng.integers(200, 20000, (b, cfg.max_subtitle_len)), jnp.int32
+        )
+        batch["subtitle_mask"] = jnp.ones((b, cfg.max_subtitle_len), jnp.int32)
+    if "qa" in args.task:
+        batch["question_ids"] = jnp.asarray(
+            rng.integers(200, 20000, (b, q_len)), jnp.int32
+        )
+        batch["question_mask"] = jnp.ones((b, q_len), jnp.int32)
+        batch["answer_ids"] = jnp.asarray(
+            rng.integers(200, 20000, (b, ans_len)), jnp.int32
+        )
+        batch["answer_mask"] = jnp.ones((b, ans_len), jnp.int32)
 
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
@@ -111,8 +206,14 @@ def main():
     float(losses["loss_total"])
     dt = (time.perf_counter() - t0) / args.steps
 
-    fl = analytic_train_flops(
-        b, args.frames, cfg.max_caption_len, cfg.eva_config, cfg.bert_config
+    fl = mix_train_flops(
+        b, cfg.eva_config, cfg.bert_config, args.task,
+        n_frames=args.frames,
+        n_audio=args.audio_slices if "a" in mods_used else 0,
+        n_depth=args.frames if "d" in mods_used else 0,
+        cap_len=cfg.max_caption_len,
+        sub_len=cfg.max_subtitle_len if "s" in mods_used else 0,
+        q_len=q_len, ans_len=ans_len,
     )
     mode = "xla-bwd" if args.xla_bwd else "pallas-bwd"
     print(
