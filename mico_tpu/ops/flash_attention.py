@@ -699,6 +699,79 @@ def _packed_qkv_kernel(qkv_ref, o_ref, *, nh, d, scale, group):
                  q_off=0, k_off=w, v_off=2 * w)
 
 
+def _packed_qkv_cls_kernel(qkv_ref, o_ref, *, nh, d, scale, group):
+    """CLS-split packed attention for L = 128k+1 sequences (ViT-g's 257).
+
+    The general kernel's (L, L) score matmuls pad 257→384 lanes — a third
+    of the MXU work is padding. Splitting the CLS token out leaves a
+    256-exact main tile: s_pp is (256, 256) with no lane padding, and the
+    CLS row/column contributions are a rank-1 correction folded into the
+    softmax normalizer. Same math, exact-match tested vs the reference."""
+    w = nh * d
+    block = qkv_ref[0]                               # (L, 3W)
+    patches = block[1:, :]                           # (L-1, 3W) one shift
+    cls = block[0:1, :]                              # (1, 3W)
+    prec = _prec_for(block.dtype)
+    s_scale = jnp.float32(scale)
+
+    def dotT(a, b):                                  # a @ b^T, fp32 accum
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    f32 = jnp.float32
+    for g in range(0, nh, group):
+        heads = range(g, min(g + group, nh))
+        staged = []
+        for h in heads:
+            qp = patches[:, h * d : (h + 1) * d]
+            kp = patches[:, w + h * d : w + (h + 1) * d]
+            qc = cls[:, h * d : (h + 1) * d]
+            kc = cls[:, w + h * d : w + (h + 1) * d]
+            s_pp = dotT(qp, kp) * s_scale            # (L-1, L-1) exact tile
+            # rank-1 CLS pieces on the VPU (Mosaic can't lower N=1 matmuls)
+            s_pc = jnp.sum(                          # (L-1, 1): q_p · k_cls
+                qp.astype(f32) * kc.astype(f32), axis=1, keepdims=True
+            ) * s_scale
+            s_cpT = jnp.sum(                         # (L-1, 1): k_p · q_cls
+                kp.astype(f32) * qc.astype(f32), axis=1, keepdims=True
+            ) * s_scale
+            s_cc = jnp.sum(                          # (1, 1)
+                qc.astype(f32) * kc.astype(f32), axis=1, keepdims=True
+            ) * s_scale
+            staged.append((s_pp, s_pc, s_cpT, s_cc))
+        probs = []
+        for s_pp, s_pc, s_cpT, s_cc in staged:
+            m_p = jnp.maximum(jnp.max(s_pp, axis=-1, keepdims=True), s_pc)
+            p_pp = jnp.exp(s_pp - m_p)
+            p_pc = jnp.exp(s_pc - m_p)               # (L-1, 1)
+            l_p = jnp.sum(p_pp, axis=-1, keepdims=True) + p_pc
+            m_c = jnp.maximum(jnp.max(s_cpT, axis=0, keepdims=True), s_cc)
+            p_cpT = jnp.exp(s_cpT - m_c)             # (L-1, 1)
+            p_cc = jnp.exp(s_cc - m_c)               # (1, 1)
+            l_c = jnp.sum(p_cpT, axis=0, keepdims=True) + p_cc
+            probs.append((
+                p_pp.astype(block.dtype), p_pc, l_p, p_cpT, p_cc, l_c,
+            ))
+        for h, (p_pp, p_pc, l_p, p_cpT, p_cc, l_c) in zip(heads, probs):
+            vp = patches[:, 2 * w + h * d : 2 * w + (h + 1) * d]
+            vc = cls[:, 2 * w + h * d : 2 * w + (h + 1) * d]
+            o_p = jnp.dot(
+                p_pp, vp, preferred_element_type=jnp.float32, precision=prec
+            )
+            o_p = o_p + p_pc * vc.astype(f32)              # rank-1 CLS col
+            o_ref[0, 1:, h * d : (h + 1) * d] = (o_p / l_p).astype(
+                o_ref.dtype
+            )
+            # CLS query row, fully on the VPU
+            o_c = jnp.sum(p_cpT * vp.astype(f32), axis=0, keepdims=True)
+            o_c = o_c + p_cc * vc.astype(f32)
+            o_ref[0, 0:1, h * d : (h + 1) * d] = (o_c / l_c).astype(
+                o_ref.dtype
+            )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret")
 )
@@ -937,6 +1010,15 @@ packed_self_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 # -- fused-qkv entry: one (B, L, 3·H·D) tensor straight from the projection --
 
 
+# A/B knob (scripts/perf_lab.py): True routes CLS-leading 128k+1 sequences
+# to _packed_qkv_cls_kernel. MEASURED NEGATIVE on v5e (ViT-g B=112: 455.4 ms
+# vs 385.0 for the general kernel, plus a ~15 min Mosaic compile): the
+# sublane-offset reads/writes the split needs cost more than the 257→384
+# lane padding they remove. Kept as a tested, documented attempt; the
+# general kernel is the default.
+PACKED_CLS_SPLIT = False
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret")
 )
@@ -949,9 +1031,17 @@ def _packed_qkv_fwd(qkv, num_heads, scale, interpret):
     io_bytes = 2 * (l * w3 + l * w) * qkv.dtype.itemsize  # double-buffered
     budget = max(_PACKED_VMEM_BUDGET - io_bytes, stage_bytes)
     group = max(1, min(num_heads, budget // max(stage_bytes, 1)))
-    kernel = functools.partial(
-        _packed_qkv_kernel, nh=num_heads, d=d, scale=scale, group=group
-    )
+    if PACKED_CLS_SPLIT and l > 128 and l % 128 == 1:
+        # CLS-leading 128k+1 sequence: the split variant's main tile has no
+        # lane padding (see _packed_qkv_cls_kernel)
+        kernel = functools.partial(
+            _packed_qkv_cls_kernel, nh=num_heads, d=d, scale=scale,
+            group=group,
+        )
+    else:
+        kernel = functools.partial(
+            _packed_qkv_kernel, nh=num_heads, d=d, scale=scale, group=group
+        )
     return pl.pallas_call(
         kernel,
         grid=(b,),

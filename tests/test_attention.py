@@ -291,14 +291,13 @@ def test_packed_qkv_cls_split_matches_general(rng):
     b, l, nh, d = 2, 257, 4, 88
     qkv = jnp.asarray(rng.standard_normal((b, l, 3 * nh * d)), jnp.float32)
     want = fa._packed_qkv_reference(qkv, nh, d**-0.5)
-    assert fa.PACKED_CLS_SPLIT
-    got_split = fa._packed_qkv_fwd(qkv, nh, d**-0.5, True)
+    got_general = fa._packed_qkv_fwd(qkv, nh, d**-0.5, True)
     try:
-        fa.PACKED_CLS_SPLIT = False
-        fa._packed_qkv_fwd.clear_cache()
-        got_general = fa._packed_qkv_fwd(qkv, nh, d**-0.5, True)
-    finally:
         fa.PACKED_CLS_SPLIT = True
+        fa._packed_qkv_fwd.clear_cache()
+        got_split = fa._packed_qkv_fwd(qkv, nh, d**-0.5, True)
+    finally:
+        fa.PACKED_CLS_SPLIT = False
         fa._packed_qkv_fwd.clear_cache()
     np.testing.assert_allclose(np.asarray(got_split), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
