@@ -47,30 +47,37 @@ def quantize_kv(x: jnp.ndarray, num_heads: int):
     return q, scale
 
 
+# Batch elements per grid step. The per-grid-step fixed cost (~15 µs
+# measured on v5e) dwarfs the int8 HBM read it buys at G=1; grouping
+# amortizes it while the int8 blocks stay far under VMEM.
+_GROUP = 8
+
+
 def _int8_cross_kernel(q_ref, k8_ref, ks_ref, v8_ref, vs_ref, o_ref,
-                       *, nh, d, scale):
-    q = q_ref[0]                                             # (Lq, H) bf16
-    for h in range(nh):
-        qh = q[:, h * d : (h + 1) * d]
-        kh8 = k8_ref[0][:, h * d : (h + 1) * d]              # (Lk, d) int8
-        ksh = ks_ref[0][:, h : h + 1]                        # (Lk, 1) f32
-        # dequant on the VPU; bf16 for the MXU pass
-        kh = (kh8.astype(jnp.float32) * ksh).astype(q.dtype)
-        s = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * jnp.float32(scale)                               # (Lq, Lk)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        vh8 = v8_ref[0][:, h * d : (h + 1) * d]
-        vsh = vs_ref[0][:, h : h + 1]
-        vh = (vh8.astype(jnp.float32) * vsh).astype(q.dtype)
-        o = jnp.dot(
-            p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
-        )
-        o_ref[0, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
+                       *, nh, d, scale, group):
+    for gi in range(group):
+        q = q_ref[gi]                                        # (Lq, H) bf16
+        for h in range(nh):
+            qh = q[:, h * d : (h + 1) * d]
+            kh8 = k8_ref[gi][:, h * d : (h + 1) * d]         # (Lk, d) int8
+            ksh = ks_ref[gi][:, h : h + 1]                   # (Lk, 1) f32
+            # dequant on the VPU; bf16 for the MXU pass
+            kh = (kh8.astype(jnp.float32) * ksh).astype(q.dtype)
+            s = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * jnp.float32(scale)                           # (Lq, Lk)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            vh8 = v8_ref[gi][:, h * d : (h + 1) * d]
+            vsh = vs_ref[gi][:, h : h + 1]
+            vh = (vh8.astype(jnp.float32) * vsh).astype(q.dtype)
+            o = jnp.dot(
+                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+            )
+            o_ref[gi, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -80,21 +87,26 @@ def _int8_cross_call(q, k8, ks, v8, vs, num_heads, scale, interpret):
     b, lq, h = q.shape
     lk = k8.shape[1]
     d = h // num_heads
+    group = _GROUP
+    while b % group:
+        group //= 2
     kernel = functools.partial(
-        _int8_cross_kernel, nh=num_heads, d=d, scale=scale
+        _int8_cross_kernel, nh=num_heads, d=d, scale=scale, group=group
     )
     row = lambda bi: (bi, 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, lq, h), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, h), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, num_heads), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, h), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, num_heads), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, lq, h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, lk, h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, lk, num_heads), row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, lk, h), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, lk, num_heads), row,
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lq, h), row, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((group, lq, h), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * lq * lk * h,
@@ -103,7 +115,7 @@ def _int8_cross_call(q, k8, ks, v8, vs, num_heads, scale, interpret):
             transcendentals=b * num_heads * lq * lk,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(q, k8, ks, v8, vs)
