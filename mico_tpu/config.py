@@ -232,6 +232,10 @@ class MiCoConfig:
     max_omni_caption_len: int = 70
     max_subtitle_len: int = 70
     checkpointing: bool = False     # rematerialize encoder blocks
+    # BERT-branch remat override: None follows `checkpointing`; False keeps
+    # the interface branch remat-free (it carries ~6% of the step FLOPs but
+    # remat re-runs its forward — its activations are small enough to save)
+    bert_checkpointing: Optional[bool] = None
     # named jax.checkpoint_policies entry for selective remat (None = full
     # per-block remat). 'dots_with_no_batch_dims_saveable' keeps matmul
     # outputs and recomputes only elementwise ops — ~25% less recompute at

@@ -257,7 +257,8 @@ def forward_multimodal_encoder(
         position_ids=position_ids,
         compute_dtype=compute_dtype,
         attn_impl="flash" if cfg.use_flash_attention else "xla",
-        remat=cfg.checkpointing,
+        remat=(cfg.checkpointing if cfg.bert_checkpointing is None
+               else cfg.bert_checkpointing),
         train_rng=train_rng,
     )
 

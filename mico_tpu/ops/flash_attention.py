@@ -47,7 +47,9 @@ def _prec_for(dtype) -> jax.lax.Precision:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # (TQ, D)
+    # base-2 softmax: log2(e) folded into the q scaling so the VPU runs its
+    # native exp2 with no extra multiply pass (same trick as _packed_body)
+    q = q_ref[0, 0].astype(jnp.float32) * (scale * 1.4426950408889634)
     k = k_ref[0, 0]                                      # (Lk, D)
     prec = _prec_for(k.dtype)
     s = jax.lax.dot_general(
@@ -57,7 +59,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         precision=prec,
     )                                                    # (TQ, Lk)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     v = v_ref[0, 0]                                      # (Lk, D)
     o = jnp.dot(
@@ -650,12 +652,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _packed_body(q_ref, k_ref, v_ref, o_ref, nh, d, scale, group,
                  q_off=0, k_off=0, v_off=0):
     """Shared packed-attention body; offsets select q/k/v column ranges
     inside possibly-fused input refs."""
     prec = _prec_for(k_ref.dtype)
-    s_scale = jnp.float32(scale)
+    # base-2 softmax: exp(s·scale − m) == exp2(s·scale·log2e − m2). Folding
+    # log2(e) into the score scale turns every exp into the VPU's native
+    # exp2 with no extra multiply pass over the (L, L) tile.
+    s_scale = jnp.float32(scale * _LOG2E)
 
     def qk(h):
         qh = q_ref[0][:, q_off + h * d : q_off + (h + 1) * d]
@@ -676,7 +684,7 @@ def _packed_body(q_ref, k_ref, v_ref, o_ref, nh, d, scale, group,
         probs = []
         for s in scores:
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
+            p = jnp.exp2(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
             # stage p in the PV-matmul input dtype: halves staged VMEM for
             # bf16 runs, and the conversion is needed for the matmul anyway
@@ -858,6 +866,9 @@ def _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
     model/evaclip/eva_vit_model.py:325-338)."""
     prec = _prec_for(k_ref.dtype)
     s_scale = jnp.float32(scale)
+    # base-2 softmax recompute (see _packed_body); dS still needs the TRUE
+    # scale, so only the softmax branch uses the folded log2e factor
+    s2_scale = jnp.float32(scale * _LOG2E)
     io_dtype = q_ref.dtype
 
     for h in range(nh):
@@ -869,9 +880,9 @@ def _packed_bwd_body(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         s = jax.lax.dot_general(
             qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ) * s_scale                                        # (L, L) f32
+        ) * s2_scale                                       # (L, L) f32·log2e
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)         # (L, L) f32
         p_c = p.astype(io_dtype)
 

@@ -35,7 +35,7 @@ def vit_flops(b, cfg):
 
 def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
                 barrier: bool = False, ln_bf16: bool = False,
-                folded: bool = False, cls_split: bool = True):
+                folded: bool = False, cls_split: bool = False):
     from mico_tpu import config as cfg_mod
     from mico_tpu.models import eva_vit
     from mico_tpu.ops import flash_attention as fa
@@ -51,7 +51,7 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
         # later variants in the same process must not inherit them
         layers.BARRIER_AFTER_LN = False
         layers.LN_STATS_DTYPE = jnp.float32
-        fa.PACKED_CLS_SPLIT = True
+        fa.PACKED_CLS_SPLIT = False
 
 
 def _run_variant(name, b, attn_impl, folded):
@@ -103,7 +103,7 @@ VARIANTS = {
     "batch56": dict(b=56),
     "batch168": dict(b=168),
     "attn_xla": dict(attn_impl="xla"),
-    "attn_nosplit": dict(cls_split=False),
+    "attn_cls_split": dict(cls_split=True),
     "ln_bf16": dict(ln_bf16=True),
     "folded": dict(folded=True),
 }

@@ -116,6 +116,9 @@ def main():
     ap.add_argument("--audio-slices", type=int, default=2)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None)
+    ap.add_argument("--no-bert-remat", action="store_true",
+                    help="keep the BERT branch remat-free while the ViT "
+                         "remats (bert_checkpointing=False)")
     ap.add_argument("--steps", type=int, default=4)
     # Single-chip reality: fp32 params + fp32 Adam moments for 1.3B are
     # ~16 GB — the whole HBM. The single-chip bench trains bf16 state
@@ -141,6 +144,7 @@ def main():
         max_depth_sample_num=args.frames,
         use_flash_attention=True,
         checkpointing=args.remat,
+        bert_checkpointing=False if args.no_bert_remat else None,
         remat_policy=args.remat_policy,
     )
     params = init_mico(jax.random.PRNGKey(0), cfg)

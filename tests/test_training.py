@@ -467,3 +467,32 @@ def test_part_causal_mask_golden():
     refc = torch.tril(refc)
     gotc = causal_3d_mask(jnp.asarray(c_mask))
     np.testing.assert_array_equal(np.asarray(gotc), refc.numpy())
+
+
+def test_bert_remat_override_grad_equivalence(rng, params):
+    """`bert_checkpointing=False` under `checkpointing=True` changes only
+    memory/recompute, never math: gradients must match the fully-rematted
+    configuration to re-fusion rounding (MFU lever — the BERT branch is ~6%
+    of the step FLOPs but full remat re-runs its forward)."""
+    import dataclasses
+
+    batch = make_batch(rng, 4)
+    key = jax.random.PRNGKey(7)
+
+    def grads(cfg):
+        def loss_fn(p):
+            losses = task_losses(key, p, cfg, batch, "cap%tv")
+            return sum(losses.values())
+
+        return jax.grad(loss_fn)(params)
+
+    full = grads(dataclasses.replace(CFG, checkpointing=True))
+    nobert = grads(dataclasses.replace(
+        CFG, checkpointing=True, bert_checkpointing=False
+    ))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        full, nobert,
+    )
