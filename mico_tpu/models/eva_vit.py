@@ -300,7 +300,13 @@ def _block(
             qkv_bias = jnp.concatenate(
                 [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
             )
-        qkv = linear(h, bp["qkv_w"], qkv_bias)                    # (B, L, 3W)
+        # remat tag: saving the packed qkv (2.1 MB/frame/layer bf16) lets a
+        # names-based policy skip re-running the qkv projection — the
+        # second-biggest matmul of the block (~23% of fwd FLOPs) — in the
+        # backward; the Pallas attention bwd consumes q/k/v directly.
+        qkv = jax.ad_checkpoint.checkpoint_name(
+            linear(h, bp["qkv_w"], qkv_bias), "qkv"
+        )                                                         # (B, L, 3W)
         rel_bias = shared_rel_bias
         if "rel_pos_bias_table" in bp:     # per-block tables (use_rel_pos_bias)
             rel_bias = rel_pos_bias_from_table(
@@ -348,7 +354,12 @@ def _block(
             if cfg.subln:
                 hh = layer_norm(hh, bp.get("ffn_ln_w"), bp.get("ffn_ln_b"), eps)
             return linear(hh, bp["w3_w"], bp["w3_b"])
-        hh = gelu(linear(h, bp["fc1_w"], bp["fc1_b"]))
+        # remat tag: saving the fc1 preactivation (3.2 MB/frame/layer bf16)
+        # skips re-running fc1 — the single biggest matmul (~24% of fwd
+        # FLOPs) — in the backward; gelu/LN recompute from it on the VPU.
+        hh = gelu(jax.ad_checkpoint.checkpoint_name(
+            linear(h, bp["fc1_w"], bp["fc1_b"]), "mlp_hidden"
+        ))
         if cfg.subln:
             hh = layer_norm(hh, bp.get("ffn_ln_w"), bp.get("ffn_ln_b"), eps)
         return linear(hh, bp["fc2_w"], bp["fc2_b"])

@@ -25,6 +25,12 @@ LN_STATS_DTYPE = jnp.float32
 # Perf/parity knob: True forces the exact erf GELU even for bf16 inputs.
 GELU_EXACT_BF16 = False
 
+# Perf diagnosis knob (scripts/train_bench.py --no-dropout): False makes
+# dropout() the identity regardless of rng, isolating the cost of
+# train-time random-mask generation in A/B timing runs. Never flip this in
+# production training — it silently removes the reference regularizers.
+DROPOUT_ENABLED = True
+
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """GELU. fp32 inputs use the exact erf form — matches torch.nn.GELU and
@@ -69,7 +75,7 @@ def layer_norm(
 def dropout(rng: Optional[jax.Array], rate: float, x: jnp.ndarray) -> jnp.ndarray:
     """Inverted dropout (torch semantics: scale by 1/keep at train time).
     Identity when rng is None (eval) or rate is 0."""
-    if rng is None or rate <= 0.0:
+    if rng is None or rate <= 0.0 or not DROPOUT_ENABLED:
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)

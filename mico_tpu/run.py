@@ -49,6 +49,14 @@ def initialize(run_cfg) -> None:
     (reference data/utils/initialize.py:8-36)."""
     if run_cfg.get("multihost"):
         jax.distributed.initialize()
+    # Train-time randomness (dropout masks, DropPath, TokenMasker draws)
+    # defaults to the TPU hardware RngBitGenerator: threefry mask generation
+    # alone measured 5% of the production-mix train step (scripts/
+    # train_bench.py --rng-impl A/B, BASELINE round 3). Override with
+    # run_cfg.rng_impl="threefry2x32" for cross-backend-identical streams.
+    jax.config.update(
+        "jax_default_prng_impl", run_cfg.get("rng_impl", "rbg")
+    )
     seed = int(run_cfg.get("seed", 50)) + jax.process_index()
     random.seed(seed)
     np.random.seed(seed)

@@ -120,19 +120,31 @@ def main():
                     help="keep the BERT branch remat-free while the ViT "
                          "remats (bert_checkpointing=False)")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="A/B diagnosis: identity dropout (isolates the "
+                         "cost of train-time random-mask generation)")
+    ap.add_argument("--rng-impl", default=None,
+                    choices=["threefry2x32", "rbg"],
+                    help="jax_default_prng_impl for the step rng (rbg uses "
+                         "the TPU RngBitGenerator — far cheaper mask draws)")
     # Single-chip reality: fp32 params + fp32 Adam moments for 1.3B are
     # ~16 GB — the whole HBM. The single-chip bench trains bf16 state
     # (multi-chip runs keep fp32 via ZeRO-1 sharding of the moments).
     ap.add_argument("--param-dtype", default="bfloat16")
     args = ap.parse_args()
 
+    if args.rng_impl:
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
+
     from mico_tpu.config import MiCoConfig
     from mico_tpu.models.mico import init_mico
     from mico_tpu.ops import flash_attention as fa
+    from mico_tpu.ops import layers as op_layers
     from mico_tpu.train.optim import OptimConfig, build_optimizer
     from mico_tpu.train.train_step import make_train_step
 
     fa.PALLAS_BWD = not args.xla_bwd
+    op_layers.DROPOUT_ENABLED = not args.no_dropout
     if args.mix:
         args.task = "ret%tva%tid_cap%tvas_qa%tva"
 
@@ -220,6 +232,10 @@ def main():
         q_len=q_len, ans_len=ans_len,
     )
     mode = "xla-bwd" if args.xla_bwd else "pallas-bwd"
+    if args.no_dropout:
+        mode += ",no-dropout"
+    if args.rng_impl:
+        mode += f",{args.rng_impl}"
     print(
         f"train {args.task} b={b} frames={args.frames} remat={args.remat} "
         f"[{mode}]: {dt*1e3:.1f} ms/step  {b/dt:.2f} samples/s  "
