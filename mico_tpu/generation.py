@@ -272,12 +272,26 @@ def _cross_mha(q, k, v, cfg):
     return o.transpose(0, 2, 1, 3).reshape(b, lq, h)
 
 
-def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias, n_rep=1):
+def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias, n_rep=1,
+                       group_bias=None):
     """One decoder layer over the (B, 2, H) [committed, probe] pair.
-    ck/cv: (B, Lmax, H) self K/V caches; xk/xv: (B/n_rep, Lk, H) cross K/V —
-    with n_rep > 1 (beam search) the cross K/V stay per batch element and
-    the beams fold into the query rows, so the big condition projections are
-    never replicated per beam. Returns (x, updated ck, updated cv)."""
+
+    ck/cv: (B, S, H) self K/V caches whose LAST slot (index S-1) is the
+    preallocated probe position — the probe K/V is dynamic-update-sliced
+    into it in place each step instead of being concatenated (the concat
+    materialized a full cache copy per layer per step). xk/xv:
+    (B/n_rep, Lk, H) cross K/V — with n_rep > 1 (beam search) the cross
+    K/V stay per batch element and the beams fold into the query rows, so
+    the big condition projections are never replicated per beam.
+
+    group_bias (beam search): additive f32 mask
+    (B/n_rep, kq, 2, kc, S) that routes self-attention through the
+    ancestry-masked in-group cross-product — every query beam kq attends
+    to every cache row kc of its group, and the bias keeps exactly the
+    positions owned by kq's ancestor chain. This removes the per-step
+    physical cache regather entirely (ablated at 3.4 ms/step at the
+    deployment shape); the caches stay append-only per physical row.
+    Returns (x, updated ck, updated cv)."""
     b, _, h = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
 
@@ -295,15 +309,40 @@ def _cached_layer_step(x, lp, ck, cv, xk, xv, t, cfg, self_bias, n_rep=1):
         o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
         return o.transpose(0, 2, 1, 3).reshape(b, lq, h)
 
-    # self-attention: commit position t's K/V, probe K/V appended transiently
+    def group_mha(q, k, v, bias):
+        # beam self-attention without cache regather: (bg, kq, 2) queries x
+        # (bg, kc, S) keys, softmax over the flattened (kc, S) axes with the
+        # ancestry mask selecting each query's own lineage
+        bg = b // n_rep
+        S = k.shape[1]
+        qh = q.reshape(bg, n_rep, 2, nh, hd)
+        kh = k.reshape(bg, n_rep, S, nh, hd)
+        vh = v.reshape(bg, n_rep, S, nh, hd)
+        s = jnp.einsum(
+            "bqxnd,bcsnd->bnqxcs", qh, kh,
+            preferred_element_type=jnp.float32,
+        ) * (hd**-0.5)
+        s = s + bias[:, None]                     # (bg, nh, kq, 2, kc, S)
+        p = jax.nn.softmax(
+            s.reshape(bg, nh, n_rep, 2, n_rep * S), axis=-1
+        ).reshape(bg, nh, n_rep, 2, n_rep, S).astype(vh.dtype)
+        o = jnp.einsum("bnqxcs,bcsnd->bqxnd", p, vh)
+        return o.reshape(b, 2, h)
+
+    # self-attention: commit position t's K/V in place, probe K/V into the
+    # preallocated last slot (both in-place updates — no cache copy)
     q = linear(x, lp["q_w"], lp["q_b"])
     k_new = linear(x, lp["k_w"], lp["k_b"])
     v_new = linear(x, lp["v_w"], lp["v_b"])
+    S = ck.shape[1]
     ck = jax.lax.dynamic_update_slice(ck, k_new[:, :1], (0, t, 0))
     cv = jax.lax.dynamic_update_slice(cv, v_new[:, :1], (0, t, 0))
-    keys = jnp.concatenate([ck, k_new[:, 1:]], axis=1)     # (B, Lmax+1, H)
-    vals = jnp.concatenate([cv, v_new[:, 1:]], axis=1)
-    o = mha(q, keys, vals, self_bias)
+    ck = jax.lax.dynamic_update_slice(ck, k_new[:, 1:], (0, S - 1, 0))
+    cv = jax.lax.dynamic_update_slice(cv, v_new[:, 1:], (0, S - 1, 0))
+    if group_bias is not None:
+        o = group_mha(q, ck, cv, group_bias)
+    else:
+        o = mha(q, ck, cv, self_bias)
     x = layer_norm(
         x + linear(o, lp["attn_out_w"], lp["attn_out_b"]),
         lp["attn_ln_w"], lp["attn_ln_b"], cfg.layer_norm_eps,
@@ -356,7 +395,8 @@ def _unstack(a, n):
     return tuple(a[l] for l in range(n))
 
 
-def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1):
+def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1,
+                     group_bias=None):
     """Python-unrolled decoder layer stack for the cached decode step.
 
     ck/cv/xk/xv are TUPLES of per-layer arrays, not stacked (layers, ...)
@@ -371,7 +411,8 @@ def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1):
     for l in range(cfg.num_hidden_layers):
         lp = jax.tree.map(lambda a: a[l], layers)
         x, ckl, cvl = _cached_layer_step(
-            x, lp, ck[l], cv[l], xk[l], xv[l], t, cfg, bias, n_rep
+            x, lp, ck[l], cv[l], xk[l], xv[l], t, cfg, bias, n_rep,
+            group_bias=group_bias,
         )
         new_ck.append(ckl)
         new_cv.append(cvl)
@@ -424,11 +465,12 @@ def cached_generate(
     xv = _unstack(xv.astype(compute_dtype), n_layers)
     xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
+    # lmax committed slots + the preallocated probe slot at index lmax
     ck0 = tuple(
-        jnp.zeros((b, lmax, h), compute_dtype) for _ in range(n_layers)
+        jnp.zeros((b, lmax + 1, h), compute_dtype) for _ in range(n_layers)
     )
     cv0 = tuple(
-        jnp.zeros((b, lmax, h), compute_dtype) for _ in range(n_layers)
+        jnp.zeros((b, lmax + 1, h), compute_dtype) for _ in range(n_layers)
     )
     tokens0 = jnp.full((b, lmax), BERT_PAD_ID, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(BERT_CLS_ID)
@@ -575,8 +617,10 @@ def cached_generate_answers(
         rng = jax.random.PRNGKey(0)
 
     cond = condition_feat.astype(compute_dtype)
+    # total committed slots + the preallocated probe slot at index `total`
     ck, cv, xk, xv = _prefill_prefix(
-        params, cfg, question_ids, question_mask, cond, total, compute_dtype
+        params, cfg, question_ids, question_mask, cond, total + 1,
+        compute_dtype,
     )
     xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
@@ -650,10 +694,24 @@ def cached_beam_generate(
     int8_cross_kv: bool = False,
 ) -> jnp.ndarray:
     """KV-cached beam search, output-identical to the recompute
-    `_beam_generate`: beams live as (B·k) cache rows; after each beam
-    selection the caches are re-gathered by parent-beam index. With
+    `_beam_generate`: beams live as (B·k) cache rows. With
     prefix_ids/prefix_mask (QA) the question prefix is prefilled once and
-    replicated per beam."""
+    replicated per beam.
+
+    Beam reordering is ANCESTRY-MASKED, not physical: the self K/V caches
+    are append-only per physical row (each live beam writes its new token's
+    K/V into its own row), and a tiny (B, k, S) int32 ancestry table
+    records which row holds each position of each beam's lineage.
+    Self-attention runs as an in-group cross product (every query beam
+    against every cache row of its sample, softmax over the flattened
+    (row, position) axes) with the ancestry mask keeping exactly the
+    lineage positions — mathematically identical to physically re-gathering
+    the caches by parent index each step, but with zero cache movement.
+    The physical re-gather (jnp.take over 24 caches inside the scan, which
+    also broke XLA's in-place carry aliasing) ablated at 3.4 ms/step of the
+    18.2 ms/step beam-3 deployment-shape decode; the in-group score/PV
+    cross product costs k× the self-attention FLOPs, which are ~1000×
+    smaller than the shared cross-attention reads."""
     b = condition_feat.shape[0]
     k = num_beams
     h = cfg.hidden_size
@@ -666,29 +724,40 @@ def cached_beam_generate(
 
     cond = condition_feat.astype(compute_dtype)
     if prefix_ids is not None:
+        # total committed slots + the preallocated probe slot
         ck0, cv0, xk, xv = _prefill_prefix(
-            params, cfg, prefix_ids, prefix_mask, cond, total, compute_dtype
+            params, cfg, prefix_ids, prefix_mask, cond, total + 1,
+            compute_dtype,
         )
         # per-beam self caches
         ck0 = tuple(jnp.repeat(c, k, axis=0) for c in ck0)
         cv0 = tuple(jnp.repeat(c, k, axis=0) for c in cv0)
         pfx_cols = jnp.pad(
             prefix_mask.astype(jnp.float32), ((0, 0), (0, total + 1 - lq))
-        )
-        pfx_cols = jnp.repeat(pfx_cols, k, axis=0)      # (bk, total+1)
+        )                                                 # (b, total+1)
     else:
         # cross K/V stay per batch element; beams fold into query rows
         xk, xv = _cross_kv(params, cond)
         xk = _unstack(xk.astype(compute_dtype), n_layers)
         xv = _unstack(xv.astype(compute_dtype), n_layers)
         ck0 = tuple(
-            jnp.zeros((bk, total, h), compute_dtype) for _ in range(n_layers)
+            jnp.zeros((bk, total + 1, h), compute_dtype)
+            for _ in range(n_layers)
         )
         cv0 = tuple(
-            jnp.zeros((bk, total, h), compute_dtype) for _ in range(n_layers)
+            jnp.zeros((bk, total + 1, h), compute_dtype)
+            for _ in range(n_layers)
         )
         pfx_cols = None
     xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
+
+    # ancestry[b, j, s] = the cache row (within the sample's k-group) that
+    # holds beam j's position-s K/V; init self everywhere ([CLS] and any
+    # replicated prefix live in each beam's own row)
+    beam_iota = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, total + 1)
+    )
+    ancestry0 = beam_iota
 
     tokens0 = jnp.full((b, k, lmax), BERT_PAD_ID, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(BERT_CLS_ID)
@@ -698,7 +767,8 @@ def cached_beam_generate(
     emb = params["embeddings"]
 
     def step(carry, t):
-        tokens, committed, live_scores, fin_tokens, fin_scores, ck, cv = carry
+        (tokens, committed, live_scores, fin_tokens, fin_scores, anc,
+         ck, cv) = carry
         flat_committed = committed.reshape(bk)
         ids = jnp.stack(
             [flat_committed, jnp.full_like(flat_committed, BERT_MASK_ID)], 1
@@ -713,18 +783,30 @@ def cached_beam_generate(
         gen_c = ((cols >= lq) & (cols <= lq + t)).astype(jnp.float32)
         probe_c = (cols == total).astype(jnp.float32)
         if pfx_cols is None:
-            allow_c = gen_c[None]
-            allow_p = jnp.maximum(gen_c, probe_c)[None]
+            allow_c = jnp.broadcast_to(gen_c[None, None], (b, k, total + 1))
+            allow_p = jnp.broadcast_to(
+                jnp.maximum(gen_c, probe_c)[None, None], (b, k, total + 1)
+            )
         else:
-            allow_c = jnp.maximum(pfx_cols, gen_c[None])
-            allow_p = jnp.maximum(allow_c, probe_c[None])
-        bias = ((1.0 - jnp.stack(
-            [jnp.broadcast_to(allow_c, (bk, total + 1)),
-             jnp.broadcast_to(allow_p, (bk, total + 1))], axis=1
-        )) * NEG_INF)[:, None]                       # (bk, 1, 2, total+1)
+            ac = jnp.maximum(pfx_cols, gen_c[None])          # (b, total+1)
+            allow_c = jnp.broadcast_to(ac[:, None], (b, k, total + 1))
+            allow_p = jnp.broadcast_to(
+                jnp.maximum(ac, probe_c[None])[:, None], (b, k, total + 1)
+            )
+        # ancestry-masked in-group bias (b, kq, 2, kc, S): a column is
+        # visible to query beam kq only in the cache row its lineage wrote
+        anc_match = (
+            anc[:, :, None, :]
+            == jnp.arange(k, dtype=jnp.int32)[None, None, :, None]
+        ).astype(jnp.float32)                            # (b, kq, kc, S)
+        colx = jnp.stack([allow_c, allow_p], axis=2)     # (b, kq, 2, S)
+        group_bias = (
+            1.0 - colx[:, :, :, None, :] * anc_match[:, :, None, :, :]
+        ) * NEG_INF                                      # (b, kq, 2, kc, S)
 
         x, ck, cv = _unrolled_layers(
-            x, params, ck, cv, xk, xv, lq + t, cfg, bias, n_rep=k
+            x, params, ck, cv, xk, xv, lq + t, cfg, None, n_rep=k,
+            group_bias=group_bias,
         )
         logits = mlm_logits(params, cfg, x[:, 1:2])[:, 0].astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v)
@@ -763,24 +845,27 @@ def cached_beam_generate(
         )
         committed = jnp.take_along_axis(tok_idx, live_keep, axis=1)
 
-        # re-gather the caches to the surviving beams' parents
+        # inherit the parent's ancestry row instead of physically
+        # re-gathering the caches; next step's commit slot and the probe
+        # slot are always self-owned
         parent = jnp.take_along_axis(beam_idx, live_keep, axis=1)  # (b, k)
-        flat_parent = (
-            jnp.arange(b)[:, None] * k + parent
-        ).reshape(bk)                                             # (bk,)
-        ck = tuple(jnp.take(c, flat_parent, axis=0) for c in ck)
-        cv = tuple(jnp.take(c, flat_parent, axis=0) for c in cv)
+        anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+        anc = jax.lax.dynamic_update_slice(
+            anc, beam_iota[:, :, :1], (0, 0, lq + t + 1)
+        )
+        anc = anc.at[:, :, total].set(beam_iota[:, :, 0])
         return (
-            tokens, committed, live_scores, fin_tokens, fin_scores, ck, cv
+            tokens, committed, live_scores, fin_tokens, fin_scores, anc,
+            ck, cv,
         ), None
 
     init = (
         tokens0,
         jnp.full((b, k), BERT_CLS_ID, jnp.int32),
-        live_scores0, fin_tokens0, fin_scores0, ck0, cv0,
+        live_scores0, fin_tokens0, fin_scores0, ancestry0, ck0, cv0,
     )
-    (tokens, _, live_scores, fin_tokens, fin_scores, _, _), _ = jax.lax.scan(
-        step, init, jnp.arange(max_new_tokens)
+    (tokens, _, live_scores, fin_tokens, fin_scores, _, _, _), _ = (
+        jax.lax.scan(step, init, jnp.arange(max_new_tokens))
     )
 
     pen = jnp.power(jnp.float32(lq + max_new_tokens + 1), length_penalty)
