@@ -241,6 +241,12 @@ class MiCoConfig:
     # outputs and recomputes only elementwise ops — ~25% less recompute at
     # ~4 MB/frame/layer of extra activation memory.
     remat_policy: Optional[str] = None
+    # Python-unroll the ViT layer march for training instead of
+    # scan-over-stacked-params: the scan backward's dynamic-update-slice
+    # grad accumulation into stacked (layers, ...) buffers is not aliased
+    # in place by XLA (measured copies — BASELINE round 3). Costs a much
+    # longer compile; inference always scans.
+    unroll_blocks: bool = False
     # GPipe pipeline parallelism for the shared ViT stack over the `model`
     # mesh axis (run_cfg.pipeline_stages; beyond-reference headroom). >1
     # requires an ambient mesh whose `model` axis equals this value.

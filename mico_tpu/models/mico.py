@@ -159,6 +159,7 @@ def forward_vision_encoder(
             attn_impl="flash" if cfg.use_flash_attention else "xla",
             remat=cfg.checkpointing if remat is None else remat,
             remat_policy=cfg.remat_policy,
+            unroll_blocks=cfg.unroll_blocks and train_rng is not None,
             train_rng=train_rng,
             pipeline_stages=cfg.pipeline_stages,
             pipeline_microbatches=cfg.pipeline_microbatches,

@@ -116,6 +116,10 @@ def main():
     ap.add_argument("--audio-slices", type=int, default=2)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None)
+    ap.add_argument("--unroll-blocks", action="store_true",
+                    help="python-unroll the ViT layer march (emits "
+                         "per-layer grad buffers instead of the scan's "
+                         "stacked-buffer update-slice copies; slow compile)")
     ap.add_argument("--no-bert-remat", action="store_true",
                     help="keep the BERT branch remat-free while the ViT "
                          "remats (bert_checkpointing=False)")
@@ -127,6 +131,10 @@ def main():
                     choices=["threefry2x32", "rbg"],
                     help="jax_default_prng_impl for the step rng (rbg uses "
                          "the TPU RngBitGenerator — far cheaper mask draws)")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler trace of the timed steps "
+                         "into this logdir (summarize with "
+                         "scripts/trace_summary.py)")
     # Single-chip reality: fp32 params + fp32 Adam moments for 1.3B are
     # ~16 GB — the whole HBM. The single-chip bench trains bf16 state
     # (multi-chip runs keep fp32 via ZeRO-1 sharding of the moments).
@@ -158,6 +166,7 @@ def main():
         checkpointing=args.remat,
         bert_checkpointing=False if args.no_bert_remat else None,
         remat_policy=args.remat_policy,
+        unroll_blocks=args.unroll_blocks,
     )
     params = init_mico(jax.random.PRNGKey(0), cfg)
     pdt = jnp.dtype(args.param_dtype)
@@ -214,11 +223,19 @@ def main():
     print(f"compile+step0 {time.perf_counter()-t0:.1f}s loss={lt:.4f}",
           flush=True)
 
+    prof = None
+    if args.profile:
+        from mico_tpu.utils import profiling
+
+        prof = profiling.trace(args.profile)
+        prof.__enter__()
     t0 = time.perf_counter()
     for i in range(args.steps):
         key = jax.random.fold_in(key, i)
         params, opt_state, losses = step(params, opt_state, batch, key)
     jax.block_until_ready(losses)
+    if prof is not None:
+        prof.__exit__(None, None, None)
     float(losses["loss_total"])
     dt = (time.perf_counter() - t0) / args.steps
 

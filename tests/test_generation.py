@@ -519,3 +519,23 @@ def test_cached_qa_beam_matches_recompute(setup):
                          use_cache=True)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_cached_beam_k5_matches_recompute(setup):
+    """Deeper beam (k=5, longer horizon) exercises multi-generation ancestry
+    inheritance in the regather-free cached beam (generation.py
+    cached_beam_generate: ancestry-masked in-group attention) against the
+    recompute loop's physical per-step beam reordering."""
+    from mico_tpu.generation import cached_beam_generate
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    want = np.asarray(
+        generate(params, CFG, cond_j, max_new_tokens=14, mode="beam",
+                 num_beams=5, use_cache=False)
+    )
+    got = np.asarray(
+        cached_beam_generate(params, CFG, cond_j, max_new_tokens=14,
+                             num_beams=5)
+    )
+    np.testing.assert_array_equal(got, want)
