@@ -73,17 +73,21 @@ def summarize(xs, line_filter: str, group_by: str):
             for ev in line.events:
                 md = emeta.get(ev.metadata_id)
                 name = md.name if md else f"id{ev.metadata_id}"
-                key = name
+                # events carry the full HLO instruction text; keep the
+                # instruction name (the part before " = ")
+                key = name.split(" = ")[0].strip()
                 if group_by == "category":
-                    key = None
+                    cat = None
                     for st in ev.stats:
                         sm = smeta.get(st.metadata_id)
                         if sm is not None and sm.name == "hlo_category":
-                            key = st.str_value or None
+                            cat = st.str_value or None
                             break
-                    if key is None:
-                        # fall back: strip the .N suffix and fusion numbering
-                        key = re.sub(r"[.\d]+$", "", name) or name
+                    if cat is None:
+                        # fall back: strip %, numbering, and clone suffixes
+                        cat = re.sub(r"\.[\d.]+$", "", key.lstrip("%"))
+                        cat = re.sub(r"(\.clone|\.remat\w*)$", "", cat)
+                    key = cat
                 t0 = line.timestamp_ns + ev.offset_ps // 1000
                 t1 = t0 + ev.duration_ps // 1000
                 wall_lo = t0 if wall_lo is None else min(wall_lo, t0)
