@@ -131,19 +131,29 @@ def _attn_sublayer(
     ln_prefix: str,
     attn_impl: str,
     train_rng: Optional[jax.Array] = None,
+    kv_index: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     b, lq, h = x.shape
-    lk = kv.shape[1]
+    u, lk = kv.shape[0], kv.shape[1]
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     probs_rng = out_rng = None
     if train_rng is not None:
         probs_rng, out_rng = jax.random.split(train_rng)
     q = linear(x, lp[f"{prefix}q_w"], lp[f"{prefix}q_b"])
+    # kv may carry only the UNIQUE condition rows (u < b) with kv_index
+    # mapping each query row to its condition row: K/V are projected once
+    # per unique row and gathered, which is exactly project-after-gather
+    # (each output element is the same dot product) at 1/duplication the
+    # projection FLOPs. Used by the ITM 3×bs pass whose three row groups
+    # share the same per-sample conditions (vast.py:419-457).
     k = linear(kv, lp[f"{prefix}k_w"], lp[f"{prefix}k_b"])
     v = linear(kv, lp[f"{prefix}v_w"], lp[f"{prefix}v_b"])
     q = q.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(u, lk, nh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(u, lk, nh, hd).transpose(0, 2, 1, 3)
+    if kv_index is not None:
+        k = jnp.take(k, kv_index, axis=0)
+        v = jnp.take(v, kv_index, axis=0)
     o = multi_head_attention(
         q, k, v, bias=bias, scale=hd**-0.5, impl=attn_impl,
         dropout_rng=probs_rng,
@@ -168,6 +178,7 @@ def bert_encoder(
     attn_impl: str = "auto",
     remat: bool = False,
     train_rng: Optional[jax.Array] = None,
+    cross_kv_index: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     has_cross = encoder_hidden_states is not None
 
@@ -184,7 +195,7 @@ def bert_encoder(
             x = _attn_sublayer(
                 x, encoder_hidden_states.astype(x.dtype), lp, cfg,
                 cross_bias, "x", "x_out", "x_ln", attn_impl,
-                train_rng=k_cross,
+                train_rng=k_cross, kv_index=cross_kv_index,
             )
         y = gelu(linear(x, lp["inter_w"], lp["inter_b"]))
         y = linear(y, lp["out_w"], lp["out_b"])
@@ -237,6 +248,7 @@ def bert_forward(
     remat: bool = False,
     with_logits: bool = False,
     train_rng: Optional[jax.Array] = None,
+    encoder_row_index: Optional[jnp.ndarray] = None,
 ) -> BertOutput:
     """The `BertForMaskedLM.forward` equivalent
     (model/bert.py:1047-1097; returns loss/logits/sequence_output).
@@ -249,7 +261,12 @@ def bert_forward(
     self_bias = extended_attention_mask(attention_mask)
     cross_bias = None
     if encoder_hidden_states is not None and encoder_attention_mask is not None:
-        cross_bias = extended_attention_mask(encoder_attention_mask)
+        enc_mask = encoder_attention_mask
+        if (encoder_row_index is not None
+                and enc_mask.shape[0] == encoder_hidden_states.shape[0]):
+            # mask given per UNIQUE condition row: expand to query rows
+            enc_mask = jnp.take(enc_mask, encoder_row_index, axis=0)
+        cross_bias = extended_attention_mask(enc_mask)
     k_emb = k_enc = None
     if train_rng is not None:
         k_emb, k_enc = jax.random.split(train_rng)
@@ -260,6 +277,7 @@ def bert_forward(
     seq = bert_encoder(
         params, cfg, hidden, self_bias, encoder_hidden_states, cross_bias,
         attn_impl=attn_impl, remat=remat, train_rng=k_enc,
+        cross_kv_index=encoder_row_index,
     )
     logits = None
     loss = None

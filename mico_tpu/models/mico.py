@@ -246,6 +246,7 @@ def forward_multimodal_encoder(
     labels: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
     train_rng: Optional[jnp.ndarray] = None,
+    condition_row_index: Optional[jnp.ndarray] = None,
 ) -> bert_mod.BertOutput:
     _, compute_dtype = cfg.dtypes()
     return bert_mod.bert_forward(
@@ -254,6 +255,7 @@ def forward_multimodal_encoder(
         input_ids,
         attention_mask,
         encoder_hidden_states=condition_feat,
+        encoder_row_index=condition_row_index,
         labels=labels,
         position_ids=position_ids,
         compute_dtype=compute_dtype,

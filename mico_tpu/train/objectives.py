@@ -228,6 +228,11 @@ def itc_loss(
 # ITM
 # ---------------------------------------------------------------------------
 
+# Project the ITM pass's per-layer cross-K/V once per UNIQUE condition row
+# and gather per query row (vs the reference's 3×bs duplicated projections).
+# Exact same math; flip off to reproduce the reference-shaped execution.
+ITM_DEDUP_CROSS_KV = True
+
 
 def itm_loss(
     rng: jax.Array,
@@ -239,8 +244,18 @@ def itm_loss(
     sim_t2cond: jnp.ndarray,          # (b, world*b)
     sim_cond2t: jnp.ndarray,
     axis_name: Optional[str],
+    dedup_cross_kv: Optional[bool] = None,
 ):
-    """Hard-negative ITM (vast.py:419-457)."""
+    """Hard-negative ITM (vast.py:419-457).
+
+    dedup_cross_kv (default ITM_DEDUP_CROSS_KV=True): the 3×bs pass's row
+    groups [pos, pos-text×neg-cond, neg-text×pos-cond] reference only b
+    (single-device) / 2b (cross-device negatives) UNIQUE conditions, so the
+    per-layer cross-K/V projections run once per unique row and are
+    gathered per query row (models/bert.py kv_index) — identical math
+    (project-after-gather == gather-after-project, row-independent matmul),
+    ~2/3 fewer cross-K/V projection FLOPs. The reference projects all 3×bs
+    duplicated rows (vast.py:437-447)."""
     bs = input_ids.shape[0]
     rank = data_axis_index(axis_name)
 
@@ -268,10 +283,29 @@ def itm_loss(
 
     ids_3 = jnp.concatenate([input_ids, input_ids, ids_neg], axis=0)
     mask_3 = jnp.concatenate([attention_mask, attention_mask, mask_neg], axis=0)
-    cond_3 = jnp.concatenate([condition_feats, cond_neg, condition_feats], axis=0)
+
+    if dedup_cross_kv is None:
+        dedup_cross_kv = ITM_DEDUP_CROSS_KV
+    pos_idx = jnp.arange(bs, dtype=jnp.int32)
+    if not dedup_cross_kv:
+        cond_u = jnp.concatenate(
+            [condition_feats, cond_neg, condition_feats], axis=0
+        )
+        row_idx = None
+    elif axis_name is None:
+        # negatives are drawn from the local rows: b unique conditions
+        cond_u = condition_feats
+        row_idx = jnp.concatenate(
+            [pos_idx, neg_cond_idx.astype(jnp.int32), pos_idx]
+        )
+    else:
+        # negatives may live on other devices: positives deduped, 2b unique
+        cond_u = jnp.concatenate([condition_feats, cond_neg], axis=0)
+        row_idx = jnp.concatenate([pos_idx, bs + pos_idx, pos_idx])
 
     seq = mico_mod.forward_multimodal_encoder(
-        params, cfg, ids_3, mask_3, cond_3, train_rng=k_drop
+        params, cfg, ids_3, mask_3, cond_u, train_rng=k_drop,
+        condition_row_index=row_idx,
     ).sequence_output
     logits = mico_mod.itm_head(params, seq[:, 0])
     labels = jnp.concatenate(

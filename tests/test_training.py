@@ -496,3 +496,49 @@ def test_bert_remat_override_grad_equivalence(rng, params):
         ),
         full, nobert,
     )
+
+
+def test_itm_dedup_cross_kv_equivalence(rng, params):
+    """ITM with deduped cross-K/V projections (project unique condition
+    rows once, gather per query row) is the SAME math as the reference's
+    3xbs duplicated projections (vast.py:437-447): loss and grads match to
+    re-fusion rounding, on both the single-device (b unique) and
+    cross-device-negatives (2b unique) index layouts."""
+    from mico_tpu.train.objectives import itm_loss
+
+    b, lc = 4, 6
+    cond = jnp.asarray(
+        rng.standard_normal((b, lc, TINY_BERT.encoder_width)), jnp.float32
+    )
+    ids = jnp.asarray(rng.integers(200, 20000, (b, 12)), jnp.int32)
+    mask = jnp.ones((b, 12), jnp.int32)
+    sim = jnp.asarray(rng.standard_normal((b, b)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def run(dedup):
+        def loss_fn(p, c):
+            return itm_loss(
+                key, p, CFG, c, ids, mask, sim, sim.T, None,
+                dedup_cross_kv=dedup,
+            )
+
+        loss, (gp, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, cond
+        )
+        return loss, gp, gc
+
+    ref_loss, ref_gp, ref_gc = run(False)
+    for dedup in (True,):
+        got_loss, got_gp, got_gc = run(dedup)
+        np.testing.assert_allclose(
+            float(got_loss), float(ref_loss), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_gc), np.asarray(ref_gc), rtol=1e-4, atol=1e-6
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            got_gp, ref_gp,
+        )
