@@ -250,8 +250,10 @@ class MiCoConfig:
     # GPipe pipeline parallelism for the shared ViT stack over the `model`
     # mesh axis (run_cfg.pipeline_stages; beyond-reference headroom). >1
     # requires an ambient mesh whose `model` axis equals this value.
+    # microbatches default to 2x stages (GPipe bubble = (S-1)/(S+M-1);
+    # M=2S keeps it under ~1/3 — the resolver logs the actual fraction).
     pipeline_stages: int = 1
-    pipeline_microbatches: int = 2
+    pipeline_microbatches: Optional[int] = None
     # retrieval eval: ITM-rerank the top-N ITC candidates per query, both
     # directions when ret_bidirection_evaluation
     # (reference default_model_cfg.json itm_rerank_num/ret_bidirection)

@@ -25,6 +25,7 @@ Parameter tree (all leaves jnp arrays; linears stored (in, out)):
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from typing import Optional
 
@@ -411,7 +412,7 @@ def eva_vit_forward(
     unroll_blocks: bool = False,
     train_rng: Optional[jax.Array] = None,
     pipeline_stages: int = 1,
-    pipeline_microbatches: int = 2,
+    pipeline_microbatches: Optional[int] = None,
 ) -> jnp.ndarray:
     """pixels (B, 3, H, W) → (B, seq_len, width) if return_all_features,
     else pooled (B, width) per reference semantics (eva_vit_model.py:611-650).
@@ -506,6 +507,17 @@ def eva_vit_forward(
 
         assert cfg.layers % pipeline_stages == 0, (
             f"layers {cfg.layers} not divisible by stages {pipeline_stages}"
+        )
+        if pipeline_microbatches is None:
+            # fill-drain GPipe bubble = (S-1)/(S+M-1); M=2S bounds it
+            # under ~1/3 while keeping microbatches MXU-sized
+            pipeline_microbatches = 2 * pipeline_stages
+        bubble = (pipeline_stages - 1) / (
+            pipeline_stages + pipeline_microbatches - 1
+        )
+        logging.getLogger(__name__).info(
+            "pipeline: %d stages x %d microbatches, bubble fraction %.2f",
+            pipeline_stages, pipeline_microbatches, bubble,
         )
 
         def layer_fn(stage_xs, h):

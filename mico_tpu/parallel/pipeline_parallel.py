@@ -20,7 +20,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
@@ -113,7 +113,7 @@ def pipelined(
         mesh=mesh,
         in_specs=(P(axis), x_spec),
         out_specs=x_spec,
-        check_rep=False,
+        check_vma=False,
     )
     def run(stage_params, x):
         stage_params = jax.tree.map(lambda l: l[0], stage_params)
