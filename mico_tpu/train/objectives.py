@@ -230,8 +230,12 @@ def itc_loss(
 
 # Project the ITM pass's per-layer cross-K/V once per UNIQUE condition row
 # and gather per query row (vs the reference's 3×bs duplicated projections).
-# Exact same math; flip off to reproduce the reference-shaped execution.
-ITM_DEDUP_CROSS_KV = True
+# Exact same math — but measured NEGATIVE on v5e at the production mix
+# (round 4 A/B, BASELINE.md: 3183 vs 3076 ms/step): the per-layer gather
+# materializes the same K/V bytes the projection would have written, and
+# its backward is a scatter-add — together they cost more than the ~3.5%
+# of mix FLOPs the dedup saves. Kept opt-in + equivalence-tested.
+ITM_DEDUP_CROSS_KV = False
 
 
 def itm_loss(
@@ -253,8 +257,10 @@ def itm_loss(
     (single-device) / 2b (cross-device negatives) UNIQUE conditions, so the
     per-layer cross-K/V projections run once per unique row and are
     gathered per query row (models/bert.py kv_index) — identical math
-    (project-after-gather == gather-after-project, row-independent matmul),
-    ~2/3 fewer cross-K/V projection FLOPs. The reference projects all 3×bs
+    (project-after-gather == gather-after-project, row-independent matmul).
+    Savings: ~2/3 fewer cross-K/V projection FLOPs in the b-unique
+    single-device layout (axis_name=None, 3b→b), ~1/3 fewer in the
+    cross-device-negatives layout (3b→2b). The reference projects all 3×bs
     duplicated rows (vast.py:437-447)."""
     bs = input_ids.shape[0]
     rank = data_axis_index(axis_name)
@@ -374,7 +380,10 @@ def caption_loss(
     mask_prob: float = 0.6,
 ):
     k_mask, k_drop = jax.random.split(rng)
-    masked_ids, labels = mask_tokens(k_mask, input_ids, mask_prob)
+    masked_ids, labels = mask_tokens(
+        k_mask, input_ids, mask_prob,
+        range_end=cfg.bert_config.vocab_size,
+    )
     mask3d = causal_3d_mask(attention_mask)
     out = mico_mod.forward_multimodal_encoder(
         params, cfg, masked_ids, mask3d, condition_feats, labels=labels,
@@ -395,7 +404,10 @@ def qa_loss(
     mask_prob: float = 0.99,
 ):
     k_mask, k_drop = jax.random.split(rng)
-    masked_ans, ans_labels = mask_tokens(k_mask, answer_ids, mask_prob)
+    masked_ans, ans_labels = mask_tokens(
+        k_mask, answer_ids, mask_prob,
+        range_end=cfg.bert_config.vocab_size,
+    )
     ids = jnp.concatenate([question_ids, masked_ans], axis=1)
     labels = jnp.concatenate(
         [jnp.full_like(question_ids, -100), ans_labels], axis=1

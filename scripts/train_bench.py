@@ -34,7 +34,7 @@ def analytic_train_flops(b, n_frames, cap_len, cfg, bert):
 
 
 def mix_train_flops(b, cfg, bert, task, *, n_frames, n_audio, n_depth,
-                    cap_len, sub_len, q_len, ans_len):
+                    cap_len, sub_len, q_len, ans_len, itm_dedup=False):
     """Analytic matmul FLOPs for an arbitrary reference task mix, matching
     the memoized-feature execution (each tower runs ONCE per step —
     objectives.task_losses / reference batch_get):
@@ -52,20 +52,26 @@ def mix_train_flops(b, cfg, bert, task, *, n_frames, n_audio, n_depth,
             2 * l * w * (4 * w) + 2 * 2 * l * l * w + 2 * 2 * l * w * h
         )
 
-    def bert_pass(rows, seq, cond):
+    def bert_pass(rows, seq, cond, kv_rows=None):
+        """kv_rows: rows actually paying the cross-K/V projections (the
+        ITM dedup projects once per UNIQUE condition row, then gathers)."""
         per_layer = (
             2 * seq * bw * (4 * bw)           # self qkv + proj
             + 2 * 2 * seq * seq * bw          # self scores + pv
             + 2 * seq * bw * bi * 2           # FFN
         )
+        fl = rows * bd * per_layer
         if cond:
-            per_layer += (
+            per_cross = (
                 2 * seq * bw * bw             # cross q
-                + 2 * cond * bw * bw * 2      # cross k/v projections
                 + 2 * 2 * seq * cond * bw     # cross scores + pv
                 + 2 * seq * bw * bw           # cross out
             )
-        return rows * bd * per_layer
+            fl += rows * bd * per_cross
+            fl += (kv_rows if kv_rows is not None else rows) * bd * (
+                2 * cond * bw * bw * 2        # cross k/v projections
+            )
+        return fl
 
     subs = [s.split("%") for s in task.split("_")]
     all_groups = {g for _, *gs in subs for g in gs}
@@ -93,7 +99,8 @@ def mix_train_flops(b, cfg, bert, task, *, n_frames, n_audio, n_depth,
         if kind == "ret":
             fl += bert_pass(b, cap_len, 0)            # ITC text feature
             for g in groups:                          # ITM 3×bs per group
-                fl += bert_pass(3 * b, cap_len, cond_tokens(g))
+                fl += bert_pass(3 * b, cap_len, cond_tokens(g),
+                                kv_rows=b if itm_dedup else None)
         elif kind == "cap":
             for g in groups:
                 fl += bert_pass(b, cap_len, cond_tokens(g))
@@ -114,6 +121,11 @@ def main():
                          "(ret%%tva%%tid_cap%%tvas_qa%%tva — the "
                          "MULTICHIP dryrun task) at the given batch")
     ap.add_argument("--audio-slices", type=int, default=2)
+    ap.add_argument("--itm-dedup", default="on", choices=["on", "off"],
+                    help="project ITM cross-K/V once per unique condition "
+                         "row (on) vs the reference-shaped 3xbs duplicated "
+                         "projections (off); MFU is computed on the FLOPs "
+                         "actually executed by the chosen mode")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None)
     ap.add_argument("--unroll-blocks", action="store_true",
@@ -153,6 +165,9 @@ def main():
 
     fa.PALLAS_BWD = not args.xla_bwd
     op_layers.DROPOUT_ENABLED = not args.no_dropout
+    from mico_tpu.train import objectives as objectives_mod
+
+    objectives_mod.ITM_DEDUP_CROSS_KV = args.itm_dedup == "on"
     if args.mix:
         args.task = "ret%tva%tid_cap%tvas_qa%tva"
 
@@ -247,8 +262,11 @@ def main():
         cap_len=cfg.max_caption_len,
         sub_len=cfg.max_subtitle_len if "s" in mods_used else 0,
         q_len=q_len, ans_len=ans_len,
+        itm_dedup=args.itm_dedup == "on",
     )
     mode = "xla-bwd" if args.xla_bwd else "pallas-bwd"
+    if "ret" in args.task:
+        mode += f",itm-dedup-{args.itm_dedup}"
     if args.no_dropout:
         mode += ",no-dropout"
     if args.rng_impl:
