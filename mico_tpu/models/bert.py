@@ -262,9 +262,16 @@ def bert_forward(
     cross_bias = None
     if encoder_hidden_states is not None and encoder_attention_mask is not None:
         enc_mask = encoder_attention_mask
-        if (encoder_row_index is not None
-                and enc_mask.shape[0] == encoder_hidden_states.shape[0]):
-            # mask given per UNIQUE condition row: expand to query rows
+        if encoder_row_index is not None:
+            # contract: with a row index, encoder_hidden_states holds the
+            # UNIQUE condition rows and the mask must be given per unique
+            # row too — always expanded to query rows here (no shape-based
+            # inference; a per-query mask would be silently mis-gathered)
+            assert enc_mask.shape[0] == encoder_hidden_states.shape[0], (
+                f"encoder_attention_mask must be per-unique-row "
+                f"({encoder_hidden_states.shape[0]}) when encoder_row_index "
+                f"is given, got {enc_mask.shape[0]}"
+            )
             enc_mask = jnp.take(enc_mask, encoder_row_index, axis=0)
         cross_bias = extended_attention_mask(enc_mask)
     k_emb = k_enc = None

@@ -86,7 +86,12 @@ def train(
             if is_scst:
                 from mico_tpu.train.scst import make_scst_step
 
-                step_fns[task] = make_scst_step(cfg, optimizer, task, tokenizer)
+                step_fns[task] = make_scst_step(
+                    cfg, optimizer, task, tokenizer,
+                    finetune_encoder=bool(
+                        run_cfg.get("scst_finetune_encoder", False)
+                    ),
+                )
             else:
                 step_fns[task] = make_train_step(cfg, optimizer, task)
         tb = batch_tok(batch, task)
@@ -145,6 +150,9 @@ def train(
                         "best %s for %s: %.4f",
                         best_name, loader_name, best_indicator[loader_name],
                     )
+    # block on in-flight async (orbax) saves before the interpreter starts
+    # tearing down executors — otherwise the final checkpoint is lost
+    saver.wait()
     return params, opt_state
 
 

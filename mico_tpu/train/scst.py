@@ -51,10 +51,18 @@ def make_scst_step(
     tokenizer,
     max_new_tokens: int | None = None,
     donate: bool = True,
+    finetune_encoder: bool = False,
 ):
     """Returns step(params, opt_state, batch_arrays, rng, raw_captions) →
     (params, opt_state, loss_dict). `raw_captions` is the batch's list of
-    reference caption strings (or lists of strings)."""
+    reference caption strings (or lists of strings).
+
+    finetune_encoder: False (default) reuses the rollout's condition
+    features in the update pass — the encoder towers run ONCE per step and
+    receive no gradient (decoder-only SCST, the reference's grad-enabled
+    surface is the BERT decoders, model/bert.py:1231,1505). True recomputes
+    the towers under grad in the update so d loss/d encoder flows (pays a
+    second encoder forward + its backward)."""
     mods_list = _groups(task)
     max_new = int(max_new_tokens or cfg.max_caption_len)
     bert_cfg = cfg.bert_config
@@ -63,10 +71,12 @@ def make_scst_step(
     @jax.jit
     def rollout(params, batch, rng):
         out = {}
+        conds = {}
         for i, mods in enumerate(mods_list):
             cond = compute_features(params, cfg, batch, mods)[
                 f"condition_feats_{mods}"
             ]
+            conds[mods] = cond
             sample, _ = generate_scst(
                 params["bert"], bert_cfg, cond, max_new_tokens=max_new,
                 rng=jax.random.fold_in(rng, i), use_cache=True,
@@ -77,15 +87,20 @@ def make_scst_step(
                 mode="greedy", compute_dtype=dtype,
             )
             out[mods] = (sample, greedy)
-        return out
+        return out, conds
 
-    def update(params, opt_state, batch, rng, advantages):
+    def update(params, opt_state, batch, rng, advantages, conds):
         def loss_fn(p):
             total = jnp.float32(0.0)
             for i, mods in enumerate(mods_list):
-                cond = compute_features(p, cfg, batch, mods)[
-                    f"condition_feats_{mods}"
-                ]
+                if finetune_encoder:
+                    cond = compute_features(p, cfg, batch, mods)[
+                        f"condition_feats_{mods}"
+                    ]
+                else:
+                    # rollout's features re-enter as constants: no second
+                    # encoder forward, no encoder gradient
+                    cond = conds[mods]
                 _, logp = generate_scst(
                     p["bert"], bert_cfg, cond, max_new_tokens=max_new,
                     rng=jax.random.fold_in(rng, i), use_cache=True,
@@ -104,7 +119,7 @@ def make_scst_step(
 
     def step(params, opt_state, batch, rng, raw_captions: Sequence):
         refs = [c if isinstance(c, list) else [c] for c in raw_captions]
-        rolled = rollout(params, batch, rng)
+        rolled, conds = rollout(params, batch, rng)
         advantages: Dict[str, jnp.ndarray] = {}
         reward_sample = reward_greedy = 0.0
         for mods, (sample, greedy) in rolled.items():
@@ -116,7 +131,7 @@ def make_scst_step(
             reward_sample += float(np.mean(r_s)) / len(mods_list)
             reward_greedy += float(np.mean(r_g)) / len(mods_list)
         params, opt_state, loss = update(
-            params, opt_state, batch, rng, advantages
+            params, opt_state, batch, rng, advantages, conds
         )
         losses = {
             "loss_scst": loss,

@@ -221,7 +221,7 @@ def test_host_object_collectives():
     # under an 8-device mesh axis via shard_map
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = np.array(jax.devices()[:8])
@@ -229,7 +229,7 @@ def test_host_object_collectives():
     xs = jnp.arange(16, dtype=jnp.float32).reshape(8, 2, 1)
 
     @partial(shard_map, mesh=mesh, in_specs=P("data"), out_specs=(P(), P()),
-             check_rep=False)
+             check_vma=False)
     def f(xb):
         return gather_variable_batch(xb[0], "data", max_batch=3)
 
@@ -542,3 +542,116 @@ def test_itm_dedup_cross_kv_equivalence(rng, params):
             ),
             got_gp, ref_gp,
         )
+
+
+def test_itm_dedup_cross_device_equivalence(rng, params):
+    """The cross-device-negatives dedup layout (axis_name set: positives
+    deduped to 2b unique rows, cond_u=[local conds, gathered negs],
+    row_idx=[pos, bs+pos, pos]) is the same math as the reference-shaped
+    3xbs duplicated projections, under a real 2-device mesh axis — loss
+    and param grads match (ADVICE round 3: the axis_name branch was only
+    correct by inspection)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from mico_tpu.train.objectives import itm_loss
+
+    n_dev, b, lc = 2, 4, 6
+    devs = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devs, ("data",))
+    cond = jnp.asarray(
+        rng.standard_normal((n_dev * b, lc, TINY_BERT.encoder_width)),
+        jnp.float32,
+    )
+    ids = jnp.asarray(rng.integers(200, 20000, (n_dev * b, 12)), jnp.int32)
+    mask = jnp.ones((n_dev * b, 12), jnp.int32)
+    sim = jnp.asarray(
+        rng.standard_normal((n_dev * b, n_dev * b)), jnp.float32
+    )
+    key = jax.random.PRNGKey(3)
+
+    def make(dedup):
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                      P("data")),
+            out_specs=P(), check_vma=False,
+        )
+        def f(p, c, i, m, s_t2c, s_c2t):
+            loss = itm_loss(
+                key, p, CFG, c, i, m, s_t2c, s_c2t, "data",
+                dedup_cross_kv=dedup,
+            )
+            return jax.lax.pmean(loss, "data")
+
+        return f
+
+    sim_t = jnp.asarray(np.asarray(sim).T)
+
+    def run(dedup):
+        return jax.value_and_grad(
+            lambda p: make(dedup)(p, cond, ids, mask, sim, sim_t)
+        )(params)
+
+    ref_loss, ref_g = run(False)
+    got_loss, got_g = run(True)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        got_g, ref_g,
+    )
+
+
+def test_scst_encoder_memoization_knob(rng, params):
+    """finetune_encoder=False (default) reuses the rollout's condition
+    features in the update: the encoder towers get NO gradient (their
+    params are bit-identical after the step) while the decoder still
+    moves; finetune_encoder=True recomputes under grad and the vision
+    tower moves too. First-step loss is identical either way (same
+    trajectory, same advantages — the cond values match by construction)."""
+    from mico_tpu.generation import generate_scst
+    from mico_tpu.train.objectives import compute_features
+    from mico_tpu.train.scst import make_scst_step
+
+    # weight_decay=0 so a zero-grad tower is EXACTLY stationary (AdamW's
+    # decoupled decay would otherwise move it regardless of gradients)
+    oc = OptimConfig(learning_rate=3e-2, clip_lr=3e-2, num_train_steps=100,
+                     warmup_ratio=0.0, weight_decay=0.0)
+    opt = build_optimizer(params, oc)
+    batch = make_batch(rng, 4)
+    step_rng = jax.random.PRNGKey(21)
+    tok = _TokStub()
+    # echo the initial sample as the reference so advantages are NONZERO
+    # (arbitrary refs score 0 for both sample and greedy → vacuous grads)
+    cond = compute_features(params, CFG, batch, "v")["condition_feats_v"]
+    first_sample, _ = generate_scst(
+        params["bert"], CFG.bert_config, cond, max_new_tokens=5,
+        rng=jax.random.fold_in(step_rng, 0),
+    )
+    raw_captions = tok.batch_decode(first_sample)
+    assert any(raw_captions)
+
+    losses = {}
+    moved = {}
+    for ft in (False, True):
+        step = make_scst_step(CFG, opt, "scst%tv", tok, max_new_tokens=5,
+                              donate=False, finetune_encoder=ft)
+        p, s, out = step(params, opt.init(params), batch, step_rng,
+                         raw_captions)
+        losses[ft] = float(out["loss_scst"])
+        moved[ft] = {
+            tower: sum(
+                float(jnp.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(params[tower]),
+                                jax.tree.leaves(p[tower]))
+            )
+            for tower in ("bert", "vision_encoder")
+        }
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
+    assert moved[False]["bert"] > 0
+    assert moved[False]["vision_encoder"] == 0.0, moved
+    assert moved[True]["vision_encoder"] > 0
