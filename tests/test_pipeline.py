@@ -379,3 +379,58 @@ def test_cli_train_pipeline_stages(cli_corpus, tmp_path):
           "--vocab", VOCAB, "run_cfg.pipeline_stages=2"])
     ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
     assert any(c.startswith("model_step_2") for c in ckpts)
+
+
+def test_cli_resume_sharded_continuity(cli_corpus, tmp_path, monkeypatch):
+    """Resume contract end-to-end through the CLI (round-3 VERDICT item 2):
+    train 2 steps with the orbax backend, then resume for 2 more. The
+    second run must (a) take the SHARDED restore path (each device reads
+    its slice — no host-tree materialization), (b) continue the step
+    numbering (final ckpt = model_step_4), and (c) continue the LR
+    schedule (the restored optimizer count picks up at 2, ending at 4).
+    Reference contract: data/utils/save.py:9-41, build_model.py:106-124."""
+    import jax
+
+    import mico_tpu.run as run_mod
+    from mico_tpu.run import main
+    from mico_tpu.train.checkpoints import resume_latest_sharded
+
+    root, cfg_path = cli_corpus
+    out_dir = str(tmp_path / "out_resume")
+    base = ["--config", str(cfg_path), "--output_dir", out_dir,
+            "--vocab", VOCAB, "run_cfg.checkpoint_backend=orbax"]
+    main(base + ["run_cfg.num_train_steps=2"])
+    ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
+    assert any(c == "model_step_2.orbax" for c in ckpts)
+    assert any(c == "optimizer_step_2.orbax" for c in ckpts)
+
+    def opt_counts(step):
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(out_dir, "ckpt", f"optimizer_step_{step}.orbax")
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as c:
+            d = c.restore(path)
+        return sorted(
+            int(v) for v in d.values()
+            if getattr(v, "shape", None) == () and v.dtype == np.int32
+        )
+
+    counts_2 = opt_counts(2)
+    assert max(counts_2) == 2, counts_2
+
+    calls = []
+
+    def spy(*args, **kwargs):
+        out = resume_latest_sharded(*args, **kwargs)
+        calls.append(out[2])
+        return out
+
+    monkeypatch.setattr(run_mod, "resume_latest_sharded", spy)
+    main(base + ["run_cfg.num_train_steps=4", "run_cfg.resume=True"])
+    assert calls == [2], "resume must go through the sharded restore path"
+    ckpts = os.listdir(os.path.join(out_dir, "ckpt"))
+    assert any(c == "model_step_4.orbax" for c in ckpts), ckpts
+    assert not any("model_step_2" in c for c in ckpts)
+    counts_4 = opt_counts(4)
+    # Adam counts continued 2 -> 4: the LR schedule never restarted
+    assert max(counts_4) == 4, counts_4
