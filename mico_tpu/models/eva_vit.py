@@ -301,13 +301,6 @@ def _block(
             qkv_bias = jnp.concatenate(
                 [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
             )
-        # remat tag: saving the packed qkv (2.1 MB/frame/layer bf16) lets a
-        # names-based policy skip re-running the qkv projection — the
-        # second-biggest matmul of the block (~23% of fwd FLOPs) — in the
-        # backward; the Pallas attention bwd consumes q/k/v directly.
-        qkv = jax.ad_checkpoint.checkpoint_name(
-            linear(h, bp["qkv_w"], qkv_bias), "qkv"
-        )                                                         # (B, L, 3W)
         rel_bias = shared_rel_bias
         if "rel_pos_bias_table" in bp:     # per-block tables (use_rel_pos_bias)
             rel_bias = rel_pos_bias_from_table(
@@ -316,12 +309,42 @@ def _block(
         impl = attn_impl
         if impl == "auto":
             impl = "flash" if jax.default_backend() == "tpu" else "xla"
-        if rope_cos is None and rel_bias is None and impl == "flash":
+        from mico_tpu.ops import flash_attention as fa
+
+        if (rope_cos is None and rel_bias is None and impl == "flash"
+                and fa.FUSED_QKV_PROJ):
+            if fa.FUSED_ATTN_PROJ and not cfg.subln:
+                # both projections in-kernel: qkv AND the raw attention
+                # output never exist in HBM
+                return jax.ad_checkpoint.checkpoint_name(
+                    fa.fused_qkv_attn_proj(
+                        h, bp["qkv_w"], qkv_bias,
+                        bp["proj_w"], bp["proj_b"], nh, hd**-0.5,
+                    ),
+                    "attn_out",
+                )
+            # measured-default route: the qkv projection runs INSIDE the
+            # attention kernel with the weight VMEM-resident — the
+            # (B, L, 3W) qkv tensor never touches HBM
+            o = fa.fused_qkv_self_attention(
+                h, bp["qkv_w"], qkv_bias, nh, hd**-0.5
+            )
+            qkv = None
+        else:
+            # remat tag: saving the packed qkv (2.1 MB/frame/layer bf16)
+            # lets a names-based policy skip re-running the qkv projection —
+            # the second-biggest matmul of the block (~23% of fwd FLOPs) —
+            # in the backward; the Pallas attention bwd consumes q/k/v
+            # directly.
+            qkv = jax.ad_checkpoint.checkpoint_name(
+                linear(h, bp["qkv_w"], qkv_bias), "qkv"
+            )                                                     # (B, L, 3W)
+        if qkv is None:
+            pass
+        elif rope_cos is None and rel_bias is None and impl == "flash":
             # hot path: the fused qkv tensor goes straight into the kernel —
             # no split copy and no (B, H, L, D) transposes in HBM
-            from mico_tpu.ops.flash_attention import packed_qkv_self_attention
-
-            o = packed_qkv_self_attention(qkv, nh, hd**-0.5)
+            o = fa.packed_qkv_self_attention(qkv, nh, hd**-0.5)
         else:
             qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, L, D)

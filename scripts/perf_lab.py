@@ -35,7 +35,8 @@ def vit_flops(b, cfg):
 
 def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
                 barrier: bool = False, ln_bf16: bool = False,
-                folded: bool = False, cls_split: bool = False):
+                folded: bool = False, cls_split: bool = False,
+                fused_qkv: bool = False, fused_proj: bool = False):
     from mico_tpu import config as cfg_mod
     from mico_tpu.models import eva_vit
     from mico_tpu.ops import flash_attention as fa
@@ -44,6 +45,8 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
     layers.BARRIER_AFTER_LN = barrier
     layers.LN_STATS_DTYPE = jnp.bfloat16 if ln_bf16 else jnp.float32
     fa.PACKED_CLS_SPLIT = cls_split
+    fa.FUSED_QKV_PROJ = fused_qkv
+    fa.FUSED_ATTN_PROJ = fused_proj
     try:
         _run_variant(name, b, attn_impl, folded)
     finally:
@@ -52,6 +55,8 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
         layers.BARRIER_AFTER_LN = False
         layers.LN_STATS_DTYPE = jnp.float32
         fa.PACKED_CLS_SPLIT = False
+        fa.FUSED_QKV_PROJ = True
+        fa.FUSED_ATTN_PROJ = False
 
 
 def _run_variant(name, b, attn_impl, folded):
@@ -106,6 +111,12 @@ VARIANTS = {
     "attn_cls_split": dict(cls_split=True),
     "ln_bf16": dict(ln_bf16=True),
     "folded": dict(folded=True),
+    # round-4 VERDICT #3: qkv projection fused INTO the packed attention
+    # kernel (weight VMEM-resident; no (B,L,3W) HBM round-trip)
+    "fused_qkv": dict(fused_qkv=True),
+    "fused_qkv_b224": dict(fused_qkv=True, b=224),
+    # both projections in-kernel (qkv + attention out-proj)
+    "fused_proj": dict(fused_qkv=True, fused_proj=True),
 }
 
 

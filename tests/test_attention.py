@@ -215,7 +215,7 @@ def test_kv_tiled_stats_forward_matches(rng):
     v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
     scale = float(d) ** -0.5
     want = _flash_kv_tiled(q, k, v, None, scale, 32, 128, True)
-    got, lse = _flash_kv_tiled_stats(q, k, v, scale, 32, 128, True)
+    got, lse = _flash_kv_tiled_stats(q, k, v, None, scale, 32, 128, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
     s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * scale
@@ -244,7 +244,7 @@ def test_kv_tiled_pallas_backward_exact(rng):
                      q, k, v)
     want_dq, want_dk, want_dv = vjp(g)
 
-    out, lse = _flash_kv_tiled_stats(q, k, v, scale, 32, 128, True)
+    out, lse = _flash_kv_tiled_stats(q, k, v, None, scale, 32, 128, True)
     delta = jnp.sum(g * out, axis=-1, keepdims=True)
     dq, dk, dv = _flash_kv_tiled_bwd(q, k, v, g, lse, delta, scale,
                                      32, 128, True)
@@ -303,3 +303,186 @@ def test_packed_qkv_cls_split_matches_general(rng):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_general), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_qkv_proj_kernel(rng):
+    """The projection-fused kernel (interpret mode) == the XLA composition
+    (qkv matmul then packed attention), forward and grads (x, W, bias)."""
+    from mico_tpu.ops.flash_attention import (
+        _fused_qkv_attn_fwd,
+        _fused_qkv_reference,
+        fused_qkv_self_attention,
+    )
+
+    b, l, nh, d = 2, 257, 4, 88
+    w_dim = nh * d
+    x = jnp.asarray(rng.standard_normal((b, l, w_dim)), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_normal((w_dim, 3 * w_dim)) * 0.05, jnp.float32
+    )
+    bias = jnp.asarray(rng.standard_normal(3 * w_dim) * 0.05, jnp.float32)
+    scale = d**-0.5
+    want = _fused_qkv_reference(x, w, bias, nh, scale)
+    got = _fused_qkv_attn_fwd(x, w, bias, nh, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(fn):
+        return lambda x, w, b: jnp.sum(fn(x, w, b, nh, scale) ** 2)
+
+    g1 = jax.grad(loss(fused_qkv_self_attention), argnums=(0, 1, 2))(
+        x, w, bias
+    )
+    g2 = jax.grad(loss(_fused_qkv_reference), argnums=(0, 1, 2))(x, w, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fused_qkv_proj_route_in_eva(rng):
+    """FUSED_QKV_PROJ=True routes the ViT block through the fused op with
+    identical outputs to the default path (CPU: both take the XLA
+    reference composition — the routing itself is what's under test)."""
+    from mico_tpu.config import EvaVitConfig
+    from mico_tpu.models.eva_vit import eva_vit_forward, init_eva_vit
+    from mico_tpu.ops import flash_attention as fa
+
+    cfg = EvaVitConfig(
+        image_size=28, patch_size=14, layers=2, width=64, head_width=32,
+        embed_dim=64,
+    )
+    params = init_eva_vit(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 3, 28, 28)), jnp.float32)
+    want = eva_vit_forward(params, cfg, pixels)
+    old = fa.FUSED_QKV_PROJ
+    try:
+        fa.FUSED_QKV_PROJ = True
+        got = eva_vit_forward(params, cfg, pixels)
+    finally:
+        fa.FUSED_QKV_PROJ = old
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_kv_tiled_biased_pallas_backward_exact(rng):
+    """The BIASED KV-tiled Pallas backward (round-3 VERDICT next #5):
+    q/k/v grads == XLA attention grads with the same additive mask,
+    including ragged q/k tails, for both a padding mask (b, 1, 1, Lk) and
+    a full per-row bias (b, h, Lq, Lk)."""
+    from mico_tpu.ops.attention import xla_attention
+    from mico_tpu.ops.flash_attention import (
+        _flash_kv_tiled_bwd,
+        _flash_kv_tiled_stats,
+    )
+
+    b, h, lq, lk, d = 1, 2, 100, 290, 32   # non-multiples of 32/128 tiles
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, lq, d)), jnp.float32)
+    scale = float(d) ** -0.5
+
+    mask = (rng.uniform(size=(b, lk)) > 0.3).astype(np.float32)
+    mask[:, :4] = 1.0
+    pad_bias = jnp.asarray((1.0 - mask) * -10000.0)[:, None, None, :]
+    full_bias = jnp.asarray(
+        rng.standard_normal((b, h, lq, lk)), jnp.float32
+    )
+    for bias in (pad_bias, full_bias):
+        _, vjp = jax.vjp(
+            lambda q, k, v: xla_attention(q, k, v, bias=bias, scale=scale),
+            q, k, v,
+        )
+        want_dq, want_dk, want_dv = vjp(g)
+        out, lse = _flash_kv_tiled_stats(q, k, v, bias, scale, 32, 128, True)
+        delta = jnp.sum(g * out, axis=-1, keepdims=True)
+        dq, dk, dv = _flash_kv_tiled_bwd(q, k, v, g, lse, delta, scale,
+                                         32, 128, True, bias=bias)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(want_dq),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(want_dk),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(want_dv),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_long_context_biased_grad_routes_through_pallas_bwd(rng):
+    """End-to-end: jax.grad through flash_attention WITH a padding mask at
+    a past-resident-KV shape equals the XLA reference q/k/v grads — the
+    biased route now takes the Pallas stats-fwd + flash backward under the
+    KV_TILED_BIAS_IS_MASK contract (bias cotangent is zero there)."""
+    from mico_tpu.ops.attention import xla_attention
+    from mico_tpu.ops import flash_attention as fa
+
+    b, h, lq, lk, d = 1, 1, 160, 8256, 32   # lk > MAX_RESIDENT_KV
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d)) * 0.2, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d)) * 0.2, jnp.float32)
+    mask = (rng.uniform(size=(b, lk)) > 0.2).astype(np.float32)
+    mask[:, :8] = 1.0
+    bias = jnp.asarray((1.0 - mask) * -10000.0)[:, None, None, :]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(
+            fa.flash_attention(q, k, v, bias=bias, block_q=64, block_k=512,
+                               interpret=True)))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(xla_attention(q, k, v, bias=bias)))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4)
+    # the mask's own cotangent is zero by contract on this route
+    db = jax.grad(
+        lambda bb: jnp.sum(fa.flash_attention(
+            q, k, v, bias=bb, block_q=64, block_k=512, interpret=True))
+    )(bias)
+    assert float(jnp.abs(db).max()) == 0.0
+
+
+def test_fused_qkv_attn_proj_kernel(rng):
+    """The doubly-fused kernel (qkv + out-projection in-kernel, interpret
+    mode) == the XLA composition, forward and all five grads."""
+    from mico_tpu.ops.flash_attention import (
+        _fused_qkv_attn_proj_fwd,
+        _fused_qkv_attn_proj_reference,
+        fused_qkv_attn_proj,
+    )
+
+    b, l, nh, d = 2, 257, 4, 88
+    w_dim = nh * d
+    x = jnp.asarray(rng.standard_normal((b, l, w_dim)), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_normal((w_dim, 3 * w_dim)) * 0.05, jnp.float32
+    )
+    bias = jnp.asarray(rng.standard_normal(3 * w_dim) * 0.05, jnp.float32)
+    wp = jnp.asarray(
+        rng.standard_normal((w_dim, w_dim)) * 0.05, jnp.float32
+    )
+    bp = jnp.asarray(rng.standard_normal(w_dim) * 0.05, jnp.float32)
+    scale = d**-0.5
+    want = _fused_qkv_attn_proj_reference(x, w, bias, wp, bp, nh, scale)
+    got = _fused_qkv_attn_proj_fwd(x, w, bias, wp, bp, nh, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a, nh, scale) ** 2)
+
+    g1 = jax.grad(loss(fused_qkv_attn_proj), argnums=(0, 1, 2, 3, 4))(
+        x, w, bias, wp, bp
+    )
+    g2 = jax.grad(
+        loss(_fused_qkv_attn_proj_reference), argnums=(0, 1, 2, 3, 4)
+    )(x, w, bias, wp, bp)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
