@@ -1343,28 +1343,38 @@ def fused_qkv_self_attention(x, w, bias, num_heads: int, scale: float):
 
 
 def _fused_qkv_vjp_fwd(x, w, bias, num_heads, scale):
-    return fused_qkv_self_attention(x, w, bias, num_heads, scale), (
-        x, w, bias,
-    )
+    # DIFFERENTIATED forward: qkv must exist as a residual for the
+    # projection grads anyway, so compute it in XLA and feed the packed
+    # kernel — exactly the unfused training path, no extra recompute in
+    # the backward (measured: the recompute variant cost ~3% of cap%tv
+    # b28, one qkv matmul per layer). The pure fused kernel serves the
+    # non-differentiated calls: inference and the remat FIRST forward —
+    # where its HBM saving lives.
+    qkv = (jax.lax.dot_general(
+        x, w, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_prec_for(x.dtype),
+    ) + bias.astype(jnp.float32)).astype(x.dtype)
+    out = packed_qkv_self_attention(qkv, num_heads, scale)
+    return out, (x, w, bias, qkv)
 
 
 def _fused_qkv_vjp_bwd(num_heads, scale, res, g):
-    # backward at unfused-remat cost: ONE projection recompute (the qkv the
-    # kernel never wrote to HBM), dqkv through the packed attention
-    # backward (Pallas kernel where routed — no attention fwd re-run), then
-    # the projection's own vjp for dx/dw/db
-    x, w, bias = res
-
-    def lin(x, w, b):
-        return (jax.lax.dot_general(
-            x, w, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_prec_for(x.dtype),
-        ) + b.astype(jnp.float32)).astype(x.dtype)
-
-    qkv, lin_vjp = jax.vjp(lin, x, w, bias)
+    x, w, bias, qkv = res
+    prec = _prec_for(x.dtype)
     (dqkv,) = _packed_qkv_vjp_bwd(num_heads, scale, (qkv,), g)
-    return lin_vjp(dqkv)
+    dx = jax.lax.dot_general(               # dqkv · Wᵀ → (B, L, W)
+        dqkv, w, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(               # xᵀ · dqkv → (W, 3W)
+        x, dqkv, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(w.dtype)
+    db = jnp.sum(
+        dqkv.astype(jnp.float32), axis=(0, 1)
+    ).astype(bias.dtype)
+    return dx, dw, db
 
 
 fused_qkv_self_attention.defvjp(_fused_qkv_vjp_fwd, _fused_qkv_vjp_bwd)

@@ -370,3 +370,105 @@ def load_from_pretrained_dir(
     else:
         params = convert_with_audit(load_torch_state_dict(path))
     return finish(params)
+
+
+# ---------------------------------------------------------------------------
+# Torch optimizer-resume layout (reference optimizer_step_*.pt)
+# ---------------------------------------------------------------------------
+
+# The reference's AdamW param grouping (data/utils/build_optimizer.py:15-62):
+# named_parameters partitioned into [basic, basic_no_decay, new,
+# new_no_decay, clip_visual, clip_visual_no_decay]; torch's state_dict keys
+# the per-param moments by the GLOBAL position across those groups in order.
+_TORCH_NO_DECAY = ("bias", "LayerNorm.bias", "LayerNorm.weight")
+
+# state_dict names that alias another parameter's tensor: torch's
+# named_parameters() yields tied tensors once (first registration), so the
+# optimizer state lives under the live partner's index only.
+_TORCH_TIED = {
+    "multimodal_encoder.cls.predictions.decoder.weight":
+        "multimodal_encoder.bert.embeddings.word_embeddings.weight",
+    "multimodal_encoder.cls.predictions.decoder.bias":
+        "multimodal_encoder.cls.predictions.bias",
+}
+
+# state_dict entries that are buffers, not parameters — never in the
+# optimizer state
+_TORCH_BUFFERS = ("multimodal_encoder.bert.embeddings.position_ids",)
+
+
+def torch_adamw_param_index(
+    named_keys, new_params_name=(), vision_clip=True,
+) -> Dict[str, int]:
+    """Replay the reference optimizer grouping over named-parameter keys →
+    {torch_key: global_param_index} exactly as `optimizer.state_dict()`
+    numbers them (data/utils/build_optimizer.py:31-62 + torch
+    Optimizer.state_dict packing). vision_clip mirrors the reference's
+    `'clip' in vision_encoder_type` gate (True for the released
+    EVA-CLIP-g run); `'visual' in key` selects the EVA tower."""
+    named_keys = [
+        k for k in named_keys
+        if k not in _TORCH_TIED and k not in _TORCH_BUFFERS
+    ]
+
+    def is_new(k):
+        return any(n in k for n in new_params_name)
+
+    def no_decay(k):
+        return any(n in k for n in _TORCH_NO_DECAY)
+
+    groups = {i: [] for i in range(6)}
+    for k in named_keys:
+        if is_new(k):
+            groups[3 if no_decay(k) else 2].append(k)
+        elif vision_clip and "visual" in k:
+            groups[5 if no_decay(k) else 4].append(k)
+        else:
+            groups[1 if no_decay(k) else 0].append(k)
+    index = {}
+    i = 0
+    for g in range(6):
+        for k in groups[g]:
+            index[k] = i
+            i += 1
+    return index
+
+
+def optimizer_moments_from_torch(
+    opt_sd, named_keys, cfg: MiCoConfig,
+    new_params_name=(), vision_clip=True,
+):
+    """Reference `optimizer_step_*.pt` (torch AdamW state_dict,
+    build_optimizer.py:105-140: per-param step/exp_avg/exp_avg_sq) →
+    (exp_avg_tree, exp_avg_sq_tree, step) in the mico_tpu param layout.
+
+    The moment tensors have the parameters' own shapes, so the weight
+    converter (`mico_from_torch`) performs the layout mapping — valid
+    because every conversion it applies is an element
+    permutation/stack/concat (Adam moments are per-element). Assumes a
+    same-geometry resume (no pos-embed/frame-embedding resize — the
+    reference's own resume contract, load_from_resume). Tied parameters'
+    moments are read from their live partner's slot."""
+    from mico_tpu.models.mico import mico_from_torch
+
+    index = torch_adamw_param_index(
+        named_keys, new_params_name=new_params_name, vision_clip=vision_clip,
+    )
+    state = opt_sd["state"]
+
+    def field_sd(field):
+        sd = {}
+        for k, i in index.items():
+            st = state[i] if i in state else state[str(i)]
+            sd[k] = np.asarray(st[field])
+        for tied, live in _TORCH_TIED.items():
+            if live in sd:
+                sd[tied] = sd[live]
+        return sd
+
+    avg = mico_from_torch(field_sd("exp_avg"), cfg)
+    sq = mico_from_torch(field_sd("exp_avg_sq"), cfg)
+    step = max(
+        int(st["step"]) for st in state.values()
+    ) if state else 0
+    return avg, sq, step

@@ -121,6 +121,10 @@ def main():
                          "(ret%%tva%%tid_cap%%tvas_qa%%tva — the "
                          "MULTICHIP dryrun task) at the given batch")
     ap.add_argument("--audio-slices", type=int, default=2)
+    ap.add_argument("--fused-qkv", default="on", choices=["on", "off"],
+                    help="qkv projection inside the packed attention "
+                         "kernel (round-4 measured default) vs the "
+                         "separate-projection route")
     ap.add_argument("--itm-dedup", default="on", choices=["on", "off"],
                     help="project ITM cross-K/V once per unique condition "
                          "row (on) vs the reference-shaped 3xbs duplicated "
@@ -164,6 +168,7 @@ def main():
     from mico_tpu.train.train_step import make_train_step
 
     fa.PALLAS_BWD = not args.xla_bwd
+    fa.FUSED_QKV_PROJ = args.fused_qkv == "on"
     op_layers.DROPOUT_ENABLED = not args.no_dropout
     from mico_tpu.train import objectives as objectives_mod
 

@@ -343,3 +343,81 @@ def test_sharded_save_restore_under_mesh(tmp_path):
     _, _, l_live = step_fn(params, opt_state, batch, key)
     _, _, l_got = step_fn(got_p, got_o, batch, key)
     assert float(l_live["loss_total"]) == float(l_got["loss_total"])
+
+
+def test_torch_optimizer_resume_layout_manifest():
+    """Optimizer-resume layout audit (round-3 VERDICT next #8): replay the
+    reference's AdamW grouping over the released-layout manifest
+    (build_optimizer.py:15-62), synthesize the torch
+    `optimizer_step_*.pt` state_dict it would save (per-param
+    step/exp_avg/exp_avg_sq keyed by global group position,
+    build_optimizer.py:105-140 + save.py:41), and check
+    `optimizer_moments_from_torch` lands every moment tensor on exactly
+    the leaf the weight converter gives its parameter — full consumption,
+    no silent drops, tied params resolved to their live slot."""
+    import json
+
+    from mico_tpu.config import MiCoConfig
+    from mico_tpu.models.mico import mico_from_torch
+    from mico_tpu.train.checkpoints import (
+        _TORCH_BUFFERS,
+        _TORCH_TIED,
+        flatten_pytree,
+        optimizer_moments_from_torch,
+        torch_adamw_param_index,
+    )
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "mico_vit_g_manifest.json")) as f:
+        manifest = json.load(f)
+
+    named_keys = [
+        k for k in manifest
+        if k not in _TORCH_TIED and k not in _TORCH_BUFFERS
+    ]
+    assert len(named_keys) == 897 - 3
+
+    index = torch_adamw_param_index(named_keys)
+    # dense 0..n-1, and the reference group order: every non-'visual' key
+    # indexes before every 'visual' (clip-lr) key
+    assert sorted(index.values()) == list(range(len(named_keys)))
+    max_basic = max(i for k, i in index.items() if "visual" not in k)
+    min_clip = min(i for k, i in index.items() if "visual" in k)
+    assert max_basic < min_clip
+
+    # distinct sentinel per parameter (tied names share their live value)
+    val = {k: float(i + 1) for i, k in enumerate(manifest)}
+    for tied, live in _TORCH_TIED.items():
+        val[tied] = val[live]
+
+    def weight_sd(offset):
+        return {
+            k: np.full(shape, val[k] + offset, np.float32)
+            for k, shape in manifest.items()
+        }
+
+    cfg = MiCoConfig(
+        vision_encoder_type="evaclip01_giant", contra_dim=512,
+        max_vision_sample_num=4, max_audio_sample_num=2,
+        max_depth_sample_num=2,
+    )
+    want_avg = flatten_pytree(mico_from_torch(weight_sd(0.0), cfg))
+    want_sq = flatten_pytree(mico_from_torch(weight_sd(0.25), cfg))
+
+    state = {
+        index[k]: {
+            "step": 300000,
+            "exp_avg": np.full(manifest[k], val[k], np.float32),
+            "exp_avg_sq": np.full(manifest[k], val[k] + 0.25, np.float32),
+        }
+        for k in named_keys
+    }
+    opt_sd = {"state": state, "param_groups": []}
+    avg, sq, step = optimizer_moments_from_torch(opt_sd, named_keys, cfg)
+    assert step == 300000
+    got_avg = flatten_pytree(avg)
+    got_sq = flatten_pytree(sq)
+    assert set(got_avg) == set(want_avg)
+    for k in want_avg:
+        np.testing.assert_array_equal(got_avg[k], want_avg[k], err_msg=k)
+        np.testing.assert_array_equal(got_sq[k], want_sq[k], err_msg=k)
