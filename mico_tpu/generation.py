@@ -391,8 +391,16 @@ def _cross_kv(params, cond):
 
 def _unstack(a, n):
     """Stacked (layers, ...) array → tuple of per-layer arrays (one-time
-    copy at setup instead of a dynamic-slice copy per layer per step)."""
-    return tuple(a[l] for l in range(n))
+    copy at setup instead of a dynamic-slice copy per layer per step).
+
+    The optimization_barrier pins each per-layer slice as its own buffer
+    before the decode while-loop. Measured NEUTRAL on v5e round 4 (beam
+    15.20 vs 15.21 ms/step): the 24 per-step `slice-start` DMA streams in
+    the trace are the attention fusions' overlapped cross-K/V reads
+    (~0.25 ms ≈ 200 MB each, at HBM bandwidth), not rematerialized
+    copies — kept as a guard against XLA re-fusing the slices into the
+    loop."""
+    return jax.lax.optimization_barrier(tuple(a[l] for l in range(n)))
 
 
 def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1,

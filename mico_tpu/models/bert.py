@@ -168,6 +168,12 @@ def _attn_sublayer(
     )
 
 
+# A/B knob (scripts/train_bench.py --bert-unroll): python-unroll the
+# 12-layer march instead of lax.scan over stacked params. Measured on the
+# production mix before any default change — see BASELINE.md round 4.
+BERT_UNROLL = False
+
+
 def bert_encoder(
     params: dict,
     cfg: BertConfig,
@@ -212,6 +218,18 @@ def bert_encoder(
     )
     if remat:
         body = jax.checkpoint(body)
+    if BERT_UNROLL:
+        # A/B route (train_bench --bert-unroll): python-unrolled march
+        # emits per-layer weight-grad buffers instead of the scan
+        # backward's stacked-buffer update-slice copies — at BERT-base's
+        # small layers the stacked copies are proportionally larger than
+        # at ViT-g scale (where the scan measured faster, BASELINE rnd 3)
+        x = hidden
+        for l in range(cfg.num_hidden_layers):
+            lp = jax.tree.map(lambda a: a[l], params["layers"])
+            key_l = None if layer_keys is None else layer_keys[l]
+            x, _ = body(x, (lp, key_l))
+        return x
     out, _ = jax.lax.scan(body, hidden, (params["layers"], layer_keys))
     return out
 

@@ -121,6 +121,22 @@ def main():
                          "(ret%%tva%%tid_cap%%tvas_qa%%tva — the "
                          "MULTICHIP dryrun task) at the given batch")
     ap.add_argument("--audio-slices", type=int, default=2)
+    ap.add_argument("--bert-unroll", action="store_true",
+                    help="python-unroll the BERT layer march (per-layer "
+                         "grad buffers vs the scan's stacked-buffer "
+                         "update-slice copies)")
+    ap.add_argument("--scst-finetune-encoder", action="store_true",
+                    help="SCST recomputes the condition towers under grad "
+                         "in the update (default reuses the rollout's "
+                         "features; encoder runs once per step)")
+    ap.add_argument("--long-context", action="store_true",
+                    help="32-frame condition (8224 cross tokens) + 128-token "
+                         "packed-query captioning: the shape whose training "
+                         "backward the KV-tiled Pallas kernels serve "
+                         "(Lq >= KV_TILED_MIN_Q, Lk > MAX_RESIDENT_KV); "
+                         "A/B with --xla-bwd")
+    ap.add_argument("--cap-len", type=int, default=None,
+                    help="override max_caption_len (training query length)")
     ap.add_argument("--fused-qkv", default="on", choices=["on", "off"],
                     help="qkv projection inside the packed attention "
                          "kernel (round-4 measured default) vs the "
@@ -173,8 +189,16 @@ def main():
     from mico_tpu.train import objectives as objectives_mod
 
     objectives_mod.ITM_DEDUP_CROSS_KV = args.itm_dedup == "on"
+    if args.bert_unroll:
+        from mico_tpu.models import bert as bert_mod
+
+        bert_mod.BERT_UNROLL = True
     if args.mix:
         args.task = "ret%tva%tid_cap%tvas_qa%tva"
+    if args.long_context:
+        args.frames = 32
+        if args.cap_len is None:
+            args.cap_len = 128
 
     cfg = MiCoConfig(
         vision_encoder_type="evaclip01_giant",
@@ -187,6 +211,7 @@ def main():
         bert_checkpointing=False if args.no_bert_remat else None,
         remat_policy=args.remat_policy,
         unroll_blocks=args.unroll_blocks,
+        **({"max_caption_len": args.cap_len} if args.cap_len else {}),
     )
     params = init_mico(jax.random.PRNGKey(0), cfg)
     pdt = jnp.dtype(args.param_dtype)
@@ -195,7 +220,28 @@ def main():
     )
     opt = build_optimizer(params, OptimConfig(num_train_steps=1000))
     opt_state = opt.init(params)
-    step = make_train_step(cfg, opt, args.task, donate=True)
+    is_scst = args.task.startswith("scst")
+    if is_scst:
+        # SCST throughput (round-3 VERDICT next #6): the full
+        # rollout -> host CIDEr-D -> REINFORCE-update loop, encoder
+        # memoized between rollout and update (train/scst.py); A/B the
+        # double-encoder variant with --scst-finetune-encoder
+        from mico_tpu.text import BertWordPieceTokenizer
+        from mico_tpu.train.scst import make_scst_step
+
+        tok = BertWordPieceTokenizer(
+            "/root/reference/model/tokenizer/vocab.txt"
+        )
+        scst_step = make_scst_step(
+            cfg, opt, args.task, tok,
+            finetune_encoder=args.scst_finetune_encoder,
+        )
+        refs = ["a man is playing a guitar on stage"] * args.batch
+
+        def step(p, o, batch, key):
+            return scst_step(p, o, batch, key, refs)
+    else:
+        step = make_train_step(cfg, opt, args.task, donate=True)
 
     b = args.batch
     rng = np.random.default_rng(0)
@@ -239,7 +285,7 @@ def main():
     t0 = time.perf_counter()
     params, opt_state, losses = step(params, opt_state, batch, key)
     jax.block_until_ready(losses)
-    lt = float(losses["loss_total"])
+    lt = float(losses.get("loss_total", losses.get("loss_scst", 0.0)))
     print(f"compile+step0 {time.perf_counter()-t0:.1f}s loss={lt:.4f}",
           flush=True)
 
@@ -256,8 +302,18 @@ def main():
     jax.block_until_ready(losses)
     if prof is not None:
         prof.__exit__(None, None, None)
-    float(losses["loss_total"])
+    float(losses.get("loss_total", losses.get("loss_scst", 0.0)))
     dt = (time.perf_counter() - t0) / args.steps
+
+    if is_scst:
+        enc = ("finetune-enc" if args.scst_finetune_encoder
+               else "memoized-enc")
+        print(
+            f"train {args.task} b={b} frames={args.frames} [{enc}]: "
+            f"{dt*1e3:.1f} ms/step  {b/dt:.2f} samples/s",
+            flush=True,
+        )
+        return
 
     fl = mix_train_flops(
         b, cfg.eva_config, cfg.bert_config, args.task,
@@ -270,8 +326,12 @@ def main():
         itm_dedup=args.itm_dedup == "on",
     )
     mode = "xla-bwd" if args.xla_bwd else "pallas-bwd"
+    if args.long_context:
+        mode += ",long-context"
     if "ret" in args.task:
         mode += f",itm-dedup-{args.itm_dedup}"
+    if args.bert_unroll:
+        mode += ",bert-unroll"
     if args.no_dropout:
         mode += ",no-dropout"
     if args.rng_impl:

@@ -176,3 +176,44 @@ def test_dropout_magnitude(rng, params):
         np.float32,
     )
     assert 0.5 < np.abs(tr).mean() / np.abs(ev).mean() < 2.0
+
+
+def test_bert_unroll_route_equivalence():
+    """BERT_UNROLL=True (python-unrolled layer march, the train_bench
+    --bert-unroll A/B route) matches the default lax.scan march to float
+    reassociation (<1e-6), eval and training — a dropout-mask divergence
+    (wrong per-layer rng order) would show O(1) differences."""
+    import jax
+
+    from mico_tpu.models import bert as bert_mod
+    from mico_tpu.models.bert import init_bert
+
+    cfg = BertConfig(
+        vocab_size=500, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, encoder_width=32,
+    )
+    params = init_bert(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(106, 500, (2, 10)), jnp.int32)
+    mask = jnp.ones((2, 10), jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    cmask = jnp.ones((2, 6), jnp.int32)
+
+    def run(train):
+        return bert_forward(
+            params, cfg, ids, mask, encoder_hidden_states=cond,
+            encoder_attention_mask=cmask,
+            train_rng=jax.random.PRNGKey(7) if train else None,
+        ).sequence_output
+
+    for train in (False, True):
+        want = run(train)
+        try:
+            bert_mod.BERT_UNROLL = True
+            got = run(train)
+        finally:
+            bert_mod.BERT_UNROLL = False
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
