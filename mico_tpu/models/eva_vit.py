@@ -403,6 +403,47 @@ def _block(
     else:
         ka, kb = jax.random.split(dp_key)
 
+    def attention_pre(xr):
+        """Pre-norm attention on the RAW residual stream: the LN-fused
+        kernel route keeps the normalized tensor out of HBM entirely
+        (A/B knob FUSED_LN_QKV); otherwise the plain LN → attention
+        composition."""
+        from mico_tpu.ops import flash_attention as fa
+
+        impl = attn_impl
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        fusable = (
+            fa.FUSED_LN_QKV and fa.FUSED_QKV_PROJ and impl == "flash"
+            and rope_cos is None and shared_rel_bias is None
+            and "rel_pos_bias_table" not in bp and not cfg.subln
+        )
+        if fusable:
+            if "qkv_bias" in bp:
+                qkv_bias = bp["qkv_bias"]
+            else:
+                qkv_bias = jnp.concatenate(
+                    [bp["q_bias"], jnp.zeros_like(bp["q_bias"]),
+                     bp["v_bias"]]
+                )
+            g = bp.get("norm1_w")
+            affine = g is not None
+            if not affine:
+                g = jnp.ones((w,), xr.dtype)
+                b0 = jnp.zeros((w,), xr.dtype)
+            else:
+                b0 = bp["norm1_b"]
+            o = fa.fused_ln_qkv_self_attention(
+                xr, g, b0, bp["qkv_w"], qkv_bias, nh, hd**-0.5, eps,
+                affine,
+            )
+            return jax.ad_checkpoint.checkpoint_name(
+                linear(o, bp["proj_w"], bp["proj_b"]), "attn_out"
+            )
+        return attention(
+            layer_norm(xr, bp.get("norm1_w"), bp.get("norm1_b"), eps)
+        )
+
     if cfg.postnorm:
         x = x + _drop_path(
             ka, dp_rate, layer_norm(attn_out(x), bp["norm1_w"], bp["norm1_b"], eps)
@@ -413,7 +454,7 @@ def _block(
     else:
         x = x + _drop_path(
             ka, dp_rate,
-            attn_out(layer_norm(x, bp.get("norm1_w"), bp.get("norm1_b"), eps)),
+            scaled(attention_pre, "gamma_1")(x),
         )
         x = x + _drop_path(
             kb, dp_rate,

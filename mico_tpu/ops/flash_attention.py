@@ -1552,3 +1552,173 @@ def _fused_qkv_attn_proj_vjp_bwd(num_heads, scale, res, g):
 fused_qkv_attn_proj.defvjp(
     _fused_qkv_attn_proj_vjp_fwd, _fused_qkv_attn_proj_vjp_bwd
 )
+
+
+# Third fusion stage: the pre-attention LayerNorm also runs in-kernel. The
+# Pallas call is opaque to XLA, so the LN'd (B, L, W) tensor otherwise
+# materializes in HBM purely to feed the kernel (~162 MB/layer round trip
+# at ViT-g B=112). Separate knob, A/B'd independently.
+FUSED_LN_QKV = False
+
+
+def _fused_ln_qkv_attn_kernel(x_ref, g_ref, b0_ref, w_ref, b_ref, o_ref, *,
+                              nh, d, scale, group, eps, affine):
+    """LN (fp32 statistics, exactly ops.layers.layer_norm) + qkv projection
+    + staged-head attention, one grid step per batch row; the normalized
+    tensor never exists in HBM."""
+    prec = _prec_for(x_ref.dtype)
+    w = nh * d
+    xf = x_ref[0].astype(jnp.float32)                     # (L, W)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if affine:
+        xn = xn * g_ref[...].astype(jnp.float32) + b0_ref[...].astype(
+            jnp.float32
+        )
+    xn = xn.astype(x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    qkv = (qkv + b_ref[...].astype(jnp.float32)).astype(x_ref.dtype)
+    s_scale = jnp.float32(scale * _LOG2E)
+
+    def qk(h):
+        qh = qkv[:, h * d : (h + 1) * d]
+        kh = qkv[:, w + h * d : w + (h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        return s * s_scale
+
+    for g in range(0, nh, group):
+        heads = range(g, min(g + group, nh))
+        scores = [qk(h) for h in heads]
+        probs = []
+        for s in scores:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            probs.append((p.astype(qkv.dtype), l))
+        for h, (p, l) in zip(heads, probs):
+            vh = qkv[:, 2 * w + h * d : 2 * w + (h + 1) * d]
+            o = jnp.dot(
+                p, vh, preferred_element_type=jnp.float32, precision=prec
+            )
+            o_ref[0, :, h * d : (h + 1) * d] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "eps", "affine",
+                              "interpret")
+)
+def _fused_ln_qkv_attn_fwd(x, g, b0, w, bias, num_heads, scale, eps,
+                           affine, interpret):
+    b, l, wd = x.shape
+    w3 = w.shape[1]
+    d = wd // num_heads
+    lpad = _round_up(l, 8) * _round_up(l, 128)
+    stage_bytes = lpad * 4 + lpad * x.dtype.itemsize
+    fixed = (w.size + 2 * (l * wd) * 2) * x.dtype.itemsize + l * w3 * (
+        x.dtype.itemsize + 4
+    ) + l * wd * 4
+    budget = max(_BWD_VMEM_LIMIT - fixed, stage_bytes)
+    group = max(1, min(num_heads, budget // max(stage_bytes, 1)))
+    kernel = functools.partial(
+        _fused_ln_qkv_attn_kernel, nh=num_heads, d=d, scale=scale,
+        group=group, eps=eps, affine=affine,
+    )
+    vec = pl.BlockSpec((1, wd), lambda bi: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, l, wd), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec,
+            vec,
+            pl.BlockSpec((wd, w3), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w3), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, wd), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, wd), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * wd * w3 + 2 * 2 * b * num_heads * l * l * d,
+            bytes_accessed=(x.size + w.size) * 2 + b * l * wd * 2,
+            transcendentals=b * num_heads * l * l,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(x, g.reshape(1, wd), b0.reshape(1, wd), w, bias.reshape(1, w3))
+
+
+def _fused_ln_qkv_reference(x, g, b0, w, bias, num_heads, scale, eps,
+                            affine):
+    from mico_tpu.ops.layers import layer_norm
+
+    xn = layer_norm(x, g if affine else None, b0 if affine else None, eps)
+    return _fused_qkv_reference(xn, w, bias, num_heads, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_ln_qkv_self_attention(x, g, b0, w, bias, num_heads: int,
+                                scale: float, eps: float, affine: bool):
+    """LN + projection-fused self-attention: x is the RAW residual stream
+    (which XLA keeps resident for the residual add anyway); the normalized
+    tensor and qkv never exist in HBM. g/b0: the LN affine (pass ones/zeros
+    with affine=False for the folded-params layout)."""
+    if jax.default_backend() != "tpu":
+        if FORCE_KERNEL_INTERPRET:
+            return _fused_ln_qkv_attn_fwd(
+                x, g, b0, w, bias, num_heads, float(scale), float(eps),
+                affine, True,
+            )
+        return _fused_ln_qkv_reference(
+            x, g, b0, w, bias, num_heads, scale, eps, affine
+        )
+    if x.dtype != jnp.bfloat16:
+        return _fused_ln_qkv_reference(
+            x, g, b0, w, bias, num_heads, scale, eps, affine
+        )
+    return _fused_ln_qkv_attn_fwd(
+        x, g, b0, w, bias, num_heads, float(scale), float(eps), affine,
+        False,
+    )
+
+
+def _fused_ln_qkv_vjp_fwd(x, g, b0, w, bias, num_heads, scale, eps, affine):
+    # differentiated path: unfused composition — LN in XLA feeding
+    # fused_qkv_self_attention, whose own vjp saves qkv and drives the
+    # Pallas attention backward. Same residuals and cost as the unfused
+    # training route.
+    from mico_tpu.ops.layers import layer_norm
+
+    out, inner_vjp = jax.vjp(
+        lambda x, g, b0, w, bias: fused_qkv_self_attention(
+            layer_norm(x, g if affine else None, b0 if affine else None,
+                       eps),
+            w, bias, num_heads, scale,
+        ),
+        x, g, b0, w, bias,
+    )
+    return out, inner_vjp
+
+
+def _fused_ln_qkv_vjp_bwd(num_heads, scale, eps, affine, vjp_fn, g_out):
+    return vjp_fn(g_out)
+
+
+fused_ln_qkv_self_attention.defvjp(
+    _fused_ln_qkv_vjp_fwd, _fused_ln_qkv_vjp_bwd
+)

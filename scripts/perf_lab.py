@@ -36,7 +36,8 @@ def vit_flops(b, cfg):
 def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
                 barrier: bool = False, ln_bf16: bool = False,
                 folded: bool = False, cls_split: bool = False,
-                fused_qkv: bool = False, fused_proj: bool = False):
+                fused_qkv: bool = False, fused_proj: bool = False,
+                fused_ln: bool = False):
     from mico_tpu import config as cfg_mod
     from mico_tpu.models import eva_vit
     from mico_tpu.ops import flash_attention as fa
@@ -47,6 +48,7 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
     fa.PACKED_CLS_SPLIT = cls_split
     fa.FUSED_QKV_PROJ = fused_qkv
     fa.FUSED_ATTN_PROJ = fused_proj
+    fa.FUSED_LN_QKV = fused_ln
     try:
         _run_variant(name, b, attn_impl, folded)
     finally:
@@ -57,6 +59,7 @@ def run_variant(name: str, b: int = 112, attn_impl: str = "auto",
         fa.PACKED_CLS_SPLIT = False
         fa.FUSED_QKV_PROJ = True
         fa.FUSED_ATTN_PROJ = False
+        fa.FUSED_LN_QKV = False
 
 
 def _run_variant(name, b, attn_impl, folded):
@@ -117,6 +120,8 @@ VARIANTS = {
     "fused_qkv_b224": dict(fused_qkv=True, b=224),
     # both projections in-kernel (qkv + attention out-proj)
     "fused_proj": dict(fused_qkv=True, fused_proj=True),
+    # LN + qkv + attention in one kernel (normalized tensor never in HBM)
+    "fused_ln": dict(fused_qkv=True, fused_ln=True),
 }
 
 

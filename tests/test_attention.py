@@ -486,3 +486,69 @@ def test_fused_qkv_attn_proj_kernel(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
         )
+
+
+def test_fused_ln_qkv_kernel(rng):
+    """LN-fused kernel (interpret) == layer_norm → qkv → packed attention
+    composition, forward and grads, affine and affine-free."""
+    from mico_tpu.ops.flash_attention import (
+        _fused_ln_qkv_attn_fwd,
+        _fused_ln_qkv_reference,
+        fused_ln_qkv_self_attention,
+    )
+
+    b, l, nh, d = 2, 257, 4, 88
+    w_dim = nh * d
+    x = jnp.asarray(rng.standard_normal((b, l, w_dim)), jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(w_dim), jnp.float32)
+    b0 = jnp.asarray(0.1 * rng.standard_normal(w_dim), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_normal((w_dim, 3 * w_dim)) * 0.05, jnp.float32
+    )
+    bias = jnp.asarray(rng.standard_normal(3 * w_dim) * 0.05, jnp.float32)
+    scale, eps = d**-0.5, 1e-6
+    for affine in (True, False):
+        want = _fused_ln_qkv_reference(x, g, b0, w, bias, nh, scale, eps,
+                                       affine)
+        got = _fused_ln_qkv_attn_fwd(x, g, b0, w, bias, nh, scale, eps,
+                                     affine, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a, nh, scale, eps, True) ** 2)
+
+    g1 = jax.grad(loss(fused_ln_qkv_self_attention),
+                  argnums=(0, 1, 2, 3, 4))(x, g, b0, w, bias)
+    g2 = jax.grad(loss(_fused_ln_qkv_reference),
+                  argnums=(0, 1, 2, 3, 4))(x, g, b0, w, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fused_ln_qkv_route_in_eva(rng):
+    """FUSED_LN_QKV=True routes the pre-norm ViT block through the
+    LN-fused op with outputs matching the default path."""
+    from mico_tpu.config import EvaVitConfig
+    from mico_tpu.models.eva_vit import eva_vit_forward, init_eva_vit
+    from mico_tpu.ops import flash_attention as fa
+
+    cfg = EvaVitConfig(
+        image_size=28, patch_size=14, layers=2, width=64, head_width=32,
+        embed_dim=64,
+    )
+    params = init_eva_vit(jax.random.PRNGKey(0), cfg)
+    pixels = jnp.asarray(rng.standard_normal((2, 3, 28, 28)), jnp.float32)
+    want = eva_vit_forward(params, cfg, pixels)
+    old = fa.FUSED_LN_QKV
+    try:
+        fa.FUSED_LN_QKV = True
+        got = eva_vit_forward(params, cfg, pixels)
+    finally:
+        fa.FUSED_LN_QKV = old
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
