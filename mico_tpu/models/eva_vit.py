@@ -288,6 +288,7 @@ def _block(
     dp_key: Optional[jax.Array] = None,
     dp_rate=0.0,
     shared_rel_bias: Optional[jnp.ndarray] = None,
+    is_train: bool = False,
 ) -> jnp.ndarray:
     """One transformer block on (B, L, W). bp holds this layer's params."""
     b, l, w = x.shape
@@ -312,7 +313,12 @@ def _block(
         from mico_tpu.ops import flash_attention as fa
 
         if (rope_cos is None and rel_bias is None and impl == "flash"
-                and fa.FUSED_QKV_PROJ):
+                and fa.FUSED_QKV_PROJ and not is_train):
+            # is_train gates TRAINING out of the fused route: the fused
+            # forward only pays on non-differentiated calls, and at the
+            # mix's b16 memory ceiling its extra residual pressure tips
+            # the step into HBM spilling (measured round 4: 5577.8 vs
+            # 3075.4 ms/step). Training keeps the round-3 unfused path.
             if fa.FUSED_ATTN_PROJ and not cfg.subln:
                 # both projections in-kernel: qkv AND the raw attention
                 # output never exist in HBM
@@ -403,45 +409,43 @@ def _block(
     else:
         ka, kb = jax.random.split(dp_key)
 
-    def attention_pre(xr):
-        """Pre-norm attention on the RAW residual stream: the LN-fused
-        kernel route keeps the normalized tensor out of HBM entirely
-        (A/B knob FUSED_LN_QKV); otherwise the plain LN → attention
-        composition."""
+    def attention_ln_fused(xr):
+        """Pre-norm attention on the RAW residual stream through the
+        LN-fused kernel (normalized tensor never in HBM). Only reached
+        when `_ln_fusable` below is True."""
+        from mico_tpu.ops import flash_attention as fa
+
+        if "qkv_bias" in bp:
+            qkv_bias = bp["qkv_bias"]
+        else:
+            qkv_bias = jnp.concatenate(
+                [bp["q_bias"], jnp.zeros_like(bp["q_bias"]), bp["v_bias"]]
+            )
+        g = bp.get("norm1_w")
+        affine = g is not None
+        if not affine:
+            g = jnp.ones((w,), xr.dtype)
+            b0 = jnp.zeros((w,), xr.dtype)
+        else:
+            b0 = bp["norm1_b"]
+        o = fa.fused_ln_qkv_self_attention(
+            xr, g, b0, bp["qkv_w"], qkv_bias, nh, hd**-0.5, eps, affine,
+        )
+        return jax.ad_checkpoint.checkpoint_name(
+            linear(o, bp["proj_w"], bp["proj_b"]), "attn_out"
+        )
+
+    def _ln_fusable():
         from mico_tpu.ops import flash_attention as fa
 
         impl = attn_impl
         if impl == "auto":
             impl = "flash" if jax.default_backend() == "tpu" else "xla"
-        fusable = (
+        return (
             fa.FUSED_LN_QKV and fa.FUSED_QKV_PROJ and impl == "flash"
             and rope_cos is None and shared_rel_bias is None
             and "rel_pos_bias_table" not in bp and not cfg.subln
-        )
-        if fusable:
-            if "qkv_bias" in bp:
-                qkv_bias = bp["qkv_bias"]
-            else:
-                qkv_bias = jnp.concatenate(
-                    [bp["q_bias"], jnp.zeros_like(bp["q_bias"]),
-                     bp["v_bias"]]
-                )
-            g = bp.get("norm1_w")
-            affine = g is not None
-            if not affine:
-                g = jnp.ones((w,), xr.dtype)
-                b0 = jnp.zeros((w,), xr.dtype)
-            else:
-                b0 = bp["norm1_b"]
-            o = fa.fused_ln_qkv_self_attention(
-                xr, g, b0, bp["qkv_w"], qkv_bias, nh, hd**-0.5, eps,
-                affine,
-            )
-            return jax.ad_checkpoint.checkpoint_name(
-                linear(o, bp["proj_w"], bp["proj_b"]), "attn_out"
-            )
-        return attention(
-            layer_norm(xr, bp.get("norm1_w"), bp.get("norm1_b"), eps)
+            and not is_train         # training: see the gate in attention()
         )
 
     if cfg.postnorm:
@@ -451,10 +455,24 @@ def _block(
         x = x + _drop_path(
             kb, dp_rate, layer_norm(mlp_out(x), bp["norm2_w"], bp["norm2_b"], eps)
         )
-    else:
+    elif _ln_fusable():
         x = x + _drop_path(
             ka, dp_rate,
-            scaled(attention_pre, "gamma_1")(x),
+            scaled(attention_ln_fused, "gamma_1")(x),
+        )
+        x = x + _drop_path(
+            kb, dp_rate,
+            mlp_out(layer_norm(x, bp.get("norm2_w"), bp.get("norm2_b"), eps)),
+        )
+    else:
+        # keep the original expression shape when not LN-fusing: routing
+        # the plain path through a wrapper closure (round-4 interim state)
+        # shifted XLA's buffer liveness enough to tip the memory-ceiling
+        # production mix into HBM spilling — 5572 vs 3075 ms/step with
+        # IDENTICAL math
+        x = x + _drop_path(
+            ka, dp_rate,
+            attn_out(layer_norm(x, bp.get("norm1_w"), bp.get("norm1_b"), eps)),
         )
         x = x + _drop_path(
             kb, dp_rate,
@@ -529,10 +547,12 @@ def eva_vit_forward(
             params["rel_pos_bias_table"], cfg.grid_size
         )
 
+    is_train = train_rng is not None
     if dp_keys is None:
         def body(h, bp):
             return _block(
-                h, bp, cfg, cos, sin, attn_impl, shared_rel_bias=shared_bias
+                h, bp, cfg, cos, sin, attn_impl, shared_rel_bias=shared_bias,
+                is_train=is_train,
             ), None
 
         xs = params["blocks"]
@@ -541,7 +561,7 @@ def eva_vit_forward(
             bp, key, rate = xs
             return _block(
                 h, bp, cfg, cos, sin, attn_impl, dp_key=key, dp_rate=rate,
-                shared_rel_bias=shared_bias,
+                shared_rel_bias=shared_bias, is_train=is_train,
             ), None
 
         xs = (params["blocks"], dp_keys, dp_rates)
