@@ -59,11 +59,14 @@ def _block(p, x, heads, eps):
     b, n, c = x.shape
     hd = c // heads
     h = layer_norm(x, p["ln1_scale"], p["ln1_bias"], eps)
-    qkv = linear(h, p["qkv_w"], p["qkv_b"]).reshape(b, n, 3, heads, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, c)
+    # torch in_proj emits [q | k | v] column groups — exactly the packed
+    # layout, so the fused qkv tensor feeds the Pallas packed attention
+    # kernel directly on TPU (identical-math XLA reference elsewhere /
+    # fp32; same hot path as the EVA tower, ops/flash_attention.py)
+    from mico_tpu.ops.flash_attention import packed_qkv_self_attention
+
+    qkv = linear(h, p["qkv_w"], p["qkv_b"])              # (b, n, 3c)
+    o = packed_qkv_self_attention(qkv, heads, float(hd) ** -0.5)
     x = x + linear(o, p["proj_w"], p["proj_b"])
 
     h = layer_norm(x, p["ln2_scale"], p["ln2_bias"], eps)
