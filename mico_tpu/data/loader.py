@@ -190,6 +190,12 @@ class DevicePrefetcher:
             return {k: self._put(v) for k, v in batch.items()}
         if isinstance(batch, np.ndarray):
             if self.sharding is not None:
+                if jax.process_count() > 1:
+                    # per-host slice of the global batch → global array
+                    # (jax 0.9 device_put rejects non-addressable devices)
+                    return jax.make_array_from_process_local_data(
+                        self.sharding, batch
+                    )
                 return jax.device_put(batch, self.sharding)
             return jax.device_put(batch)
         return batch

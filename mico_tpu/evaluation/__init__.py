@@ -46,6 +46,28 @@ def _subtasks(task: str):
     return parts[0], parts[1:]
 
 
+def _localize(x):
+    """Eval runs PER PROCESS on its own loader shard (the reference's
+    per-rank eval; outputs are merged afterwards via gather_objects). A
+    multi-host training run hands the Evaluator GLOBAL mesh arrays — bring
+    each leaf onto this process's devices so the eval jits stay local:
+    fully-replicated leaves read their local replica; model-sharded leaves
+    are first gathered to replicated (a collective every process issues in
+    the same order, since every process builds the Evaluator per step)."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return x
+    if not x.sharding.is_fully_replicated:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(
+                x.sharding.mesh, PartitionSpec()
+            ),
+        )(x)
+    return jnp.asarray(x.addressable_data(0))
+
+
 class Evaluator:
     """Jit-cached eval step functions over a fixed MiCoConfig + params."""
 
@@ -57,7 +79,7 @@ class Evaluator:
 
             cfg = dataclasses.replace(cfg, pipeline_stages=1)
         self.cfg = cfg
-        self.params = params
+        self.params = jax.tree.map(_localize, params)
         self.tok = tokenizer
         self.run_cfg = run_cfg or {}
         self.batch_tok = BatchTokenizer(

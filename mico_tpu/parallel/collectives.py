@@ -54,6 +54,45 @@ def data_axis_size(axis_name: Optional[str]):
 # ---------------------------------------------------------------------------
 
 
+def process_allgather(x_local) -> "np.ndarray":
+    """All-gather one identically-shaped numpy array per process →
+    (process_count, *shape) on every process.
+
+    jax.experimental.multihost_utils was removed in jax 0.9; this is the
+    same collective on public APIs: a 1-device-per-process mesh (the
+    lowest-id device of each process, globally ordered), each process
+    contributing its row via make_array_from_single_device_arrays, and a
+    replicated-output jit to run the actual gather."""
+    import numpy as np
+
+    x_local = np.asarray(x_local)
+    n = jax.process_count()
+    if n == 1:
+        return x_local[None]
+    per_proc = {}
+    for d in jax.devices():
+        if d.process_index not in per_proc or d.id < per_proc[d.process_index].id:
+            per_proc[d.process_index] = d
+    devs = np.array([per_proc[i] for i in range(n)])
+    mesh = jax.sharding.Mesh(devs, ("proc",))
+    row_sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("proc")
+    )
+    mine = per_proc[jax.process_index()]
+    garr = jax.make_array_from_single_device_arrays(
+        (n,) + x_local.shape,
+        row_sh,
+        [jax.device_put(x_local[None], mine)],
+    )
+    out = jax.jit(
+        lambda a: a,
+        out_shardings=jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
+        ),
+    )(garr)
+    return np.asarray(out.addressable_data(0))
+
+
 def gather_objects(obj) -> list:
     """All-gather an arbitrary picklable object across processes → list of
     every process's object (reference all_gather_list). Single-process:
@@ -70,15 +109,12 @@ def gather_objects(obj) -> list:
 
     if jax.process_count() == 1:
         return [obj]
-    from jax.experimental import multihost_utils
 
     blob = np.frombuffer(pickle.dumps(obj), np.uint8)
-    lens = np.asarray(
-        multihost_utils.process_allgather(np.int64(len(blob)))
-    ).reshape(-1)
+    lens = np.asarray(process_allgather(np.int64(len(blob)))).reshape(-1)
     buf = np.zeros((int(lens.max()),), np.uint8)
     buf[: len(blob)] = blob
-    gathered = multihost_utils.process_allgather(buf)
+    gathered = process_allgather(buf)
     return [
         pickle.loads(np.asarray(row)[: int(n)].tobytes())
         for row, n in zip(gathered, lens)

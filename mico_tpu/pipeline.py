@@ -101,10 +101,13 @@ def train(
         if mesh is not None:
             n_data = mesh.shape.get("data", 1)
             b = next(iter(arrays.values())).shape[0]
-            if b % n_data:
+            # b is the PER-HOST batch; the global batch (b × processes) must
+            # tile the data mesh axis
+            if (b * jax.process_count()) % n_data:
                 raise ValueError(
-                    f"per-host batch {b} not divisible by the mesh data axis "
-                    f"({n_data}); raise data_cfg batch_size or shrink the mesh"
+                    f"global batch {b}x{jax.process_count()} not divisible by "
+                    f"the mesh data axis ({n_data}); raise data_cfg "
+                    f"batch_size or shrink the mesh"
                 )
             arrays = shard_batch(mesh, arrays)
         rng, sub = jax.random.split(rng)
@@ -133,7 +136,10 @@ def train(
         if global_step % valid_steps == 0 or global_step == num_steps:
             evaluator = Evaluator(cfg, params, tokenizer, run_cfg)
             eval_log = evaluate_fn(evaluator, val_loaders, run_cfg, global_step)
-            if jax.process_index() == 0:
+            # orbax saves are COLLECTIVE (each process writes its
+            # addressable shards); only the host-gathering npz backend is
+            # process-0-only
+            if saver.backend == "orbax" or jax.process_index() == 0:
                 saver.save(global_step, params, opt_state)
             for loader_name, metrics in eval_log.items():
                 t = loader_name.split("--")[0]
@@ -141,7 +147,10 @@ def train(
                 if best_name and best_name in metrics:
                     if metrics[best_name] > best_indicator.get(loader_name, -1):
                         best_indicator[loader_name] = metrics[best_name]
-                        if jax.process_index() == 0:
+                        # orbax best-saves are collective (metrics agree on
+                        # every process after the eval gather)
+                        if (saver.backend == "orbax"
+                                or jax.process_index() == 0):
                             saver.save_best(
                                 f"{best_name}_{loader_name.split('--')[-1]}",
                                 params,

@@ -49,7 +49,18 @@ def initialize(run_cfg) -> None:
     """Seeds + logging + optional multi-host init
     (reference data/utils/initialize.py:8-36)."""
     if run_cfg.get("multihost"):
-        jax.distributed.initialize()
+        # On TPU pods every arg auto-detects. Off-pod (or under a launcher
+        # jax can't sniff) the knobs mirror torchrun's MASTER_ADDR /
+        # WORLD_SIZE / RANK env contract the reference relies on
+        # (data/utils/initialize.py:8-16).
+        kw = {}
+        if run_cfg.get("coordinator_address"):
+            kw["coordinator_address"] = run_cfg["coordinator_address"]
+        if run_cfg.get("num_processes") is not None:
+            kw["num_processes"] = int(run_cfg["num_processes"])
+        if run_cfg.get("process_id") is not None:
+            kw["process_id"] = int(run_cfg["process_id"])
+        jax.distributed.initialize(**kw)
     # Train-time randomness (dropout masks, DropPath, TokenMasker draws)
     # defaults to the TPU hardware RngBitGenerator: threefry mask generation
     # alone measured 5% of the production-mix train step (scripts/

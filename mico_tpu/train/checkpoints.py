@@ -51,8 +51,27 @@ def unflatten_pytree(flat: Dict[str, np.ndarray]):
     return tree
 
 
+def host_fetch(x) -> np.ndarray:
+    """Leaf → host numpy, tolerating multi-process placements: a global
+    array whose LOCAL shard is full-size (replicated in practice — e.g. a
+    size-1 model-axis sharding, which jax does not report as
+    fully-replicated) reads its local shard. Genuinely cross-process-
+    sharded leaves cannot be host-gathered without a collective — that is
+    the orbax backend's job."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shard = x.addressable_data(0)
+        if shard.shape == x.shape:
+            return np.asarray(shard)
+        raise ValueError(
+            f"cannot host-gather a cross-process-sharded array "
+            f"(global {x.shape}, local shard {shard.shape}); use "
+            f"checkpoint_backend=orbax for sharded saves"
+        )
+    return np.asarray(x)
+
+
 def save_pytree_npz(path: str, tree) -> None:
-    np.savez(path, **flatten_pytree(jax.device_get(tree)))
+    np.savez(path, **flatten_pytree(jax.tree.map(host_fetch, tree)))
 
 
 def load_pytree_npz(path: str):
@@ -77,12 +96,22 @@ class ModelSaver:
         if backend == "orbax":
             import orbax.checkpoint as ocp
 
-            self._orbax = ocp.AsyncCheckpointer(
-                ocp.StandardCheckpointHandler()
+            # Multi-process: SYNCHRONOUS checkpointers. The async commit
+            # thread (asyncio.run per commit + the cross-process
+            # array-metadata validation pass) intermittently dies with
+            # "cannot schedule new futures after shutdown" inside orbax
+            # 0.11 under a busy GIL (observed in the 2-process CLI test;
+            # the isolated repro passes) — the inline commit path has no
+            # background asyncio nesting to race. Single-process keeps the
+            # async saver: training continues while the previous
+            # checkpoint flushes.
+            ctor = (
+                (lambda h: ocp.Checkpointer(h))
+                if jax.process_count() > 1
+                else (lambda h: ocp.AsyncCheckpointer(h))
             )
-            self._orbax_opt = ocp.AsyncCheckpointer(
-                ocp.StandardCheckpointHandler()
-            )
+            self._orbax = ctor(ocp.StandardCheckpointHandler())
+            self._orbax_opt = ctor(ocp.StandardCheckpointHandler())
 
     def _clean(self, pattern: str):
         import shutil
@@ -97,8 +126,20 @@ class ModelSaver:
         if self.backend == "orbax":
             import orbax.checkpoint as ocp
 
-            self._orbax.wait_until_finished()
-            if self.remove_before_ckpt:
+            _ckpt_wait(self._orbax)
+            _ckpt_wait(self._orbax_opt)
+            # multihost: every process calls save (shard writes are
+            # collective) but only process 0 deletes the previous step.
+            # The barrier is load-bearing: wait_until_finished only flushes
+            # THIS process's async commit — without it process 0 can rmtree
+            # a directory another process is still finalizing (observed as
+            # orphaned *-tmp dirs + orbax barrier errors in the 2-process
+            # test).
+            if jax.process_count() > 1:
+                from mico_tpu.parallel.collectives import gather_objects
+
+                gather_objects(None)  # all prior saves committed everywhere
+            if self.remove_before_ckpt and jax.process_index() == 0:
                 self._clean("model_step_*.orbax")
                 self._clean("optimizer_step_*.orbax")
             # mesh-sharded jax.Arrays go straight to orbax: each process
@@ -109,7 +150,6 @@ class ModelSaver:
                 args=ocp.args.StandardSave(params),
             )
             if opt_state is not None:
-                self._orbax_opt.wait_until_finished()
                 self._orbax_opt.save(
                     os.path.join(
                         self.ckpt_dir, f"optimizer_step_{step}.orbax"
@@ -125,22 +165,41 @@ class ModelSaver:
         if opt_state is not None:
             if self.remove_before_ckpt:
                 self._clean("optimizer_step_*.npz")
-            flat, _ = jax.tree_util.tree_flatten(jax.device_get(opt_state))
+            flat, _ = jax.tree_util.tree_flatten(opt_state)
             np.savez(
                 os.path.join(self.ckpt_dir, f"optimizer_step_{step}.npz"),
-                **{str(i): np.asarray(x) for i, x in enumerate(flat)},
+                **{str(i): host_fetch(x) for i, x in enumerate(flat)},
             )
 
     def save_best(self, metric: str, params):
+        """Best-metric snapshot (reference save.py:33-41). orbax backend:
+        a COLLECTIVE sharded save (every process calls this — the metrics
+        are identical everywhere after the eval gather), overwriting in
+        place; npz backend: process-0 host write."""
+        if self.backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            _ckpt_wait(self._orbax)
+            self._orbax.save(
+                os.path.join(self.ckpt_dir, f"best_{metric}.orbax"),
+                args=ocp.args.StandardSave(params),
+                force=True,
+            )
+            return
         save_pytree_npz(
             os.path.join(self.ckpt_dir, f"best_{metric}.npz"), params
         )
 
     def wait(self):
-        if self._orbax is not None:
-            self._orbax.wait_until_finished()
-        if self._orbax_opt is not None:
-            self._orbax_opt.wait_until_finished()
+        _ckpt_wait(self._orbax)
+        _ckpt_wait(self._orbax_opt)
+
+
+def _ckpt_wait(ckptr) -> None:
+    """Flush an orbax checkpointer's in-flight save; no-op for the
+    synchronous Checkpointer (commits inline) and for absent backends."""
+    if ckptr is not None and hasattr(ckptr, "wait_until_finished"):
+        ckptr.wait_until_finished()
 
 
 def _opt_flat_dict(opt_state) -> Dict[str, Any]:
@@ -164,6 +223,11 @@ def load_checkpoint_path(path: str):
 def _latest_step(ckpt_dir: str, prefix: str):
     steps = []
     for p in glob.glob(os.path.join(ckpt_dir, f"{prefix}_step_*")):
+        if p.endswith("-tmp"):
+            # uncommitted orbax scratch from an interrupted save — never a
+            # resume candidate (crash mid-save must fall back to the last
+            # COMMITTED checkpoint)
+            continue
         m = re.search(rf"{prefix}_step_(\d+)", os.path.basename(p))
         if m:
             steps.append((int(m.group(1)), p))

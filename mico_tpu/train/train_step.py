@@ -155,11 +155,38 @@ def shard_train_state(
     param_sh, opt_sh = train_state_shardings(
         mesh, params, opt_state, model_axis=model_axis, zero1=zero1
     )
-    params = jax.device_put(params, param_sh)
-    opt_state = jax.device_put(opt_state, opt_sh)
+    params = jax.tree.map(put_replicated_host_value, params, param_sh)
+    opt_state = jax.tree.map(put_replicated_host_value, opt_state, opt_sh)
     return params, opt_state
 
 
+def put_replicated_host_value(x, sh: NamedSharding):
+    """Place a host value every process holds identically onto a (possibly
+    multi-process) sharding. Single-process / fully-replicated targets take
+    the plain device_put fast path; cross-process SHARDED targets (TP/ZeRO-1
+    over a DCN-spanning mesh) go through make_array_from_callback — each
+    process materializes only its addressable shards (jax 0.9 rejects
+    device_put onto non-addressable devices)."""
+    if jax.process_count() == 1 or getattr(sh, "is_fully_replicated", False):
+        return jax.device_put(x, sh)
+    import numpy as np
+
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+
+
 def shard_batch(mesh: Mesh, batch: Dict, data_axis: str = "data") -> Dict:
+    """Batch rows → the `data` mesh axis. Multi-process: each host loads its
+    1/process_count slice (data/build.py divides the global batch), and the
+    global array is assembled from the per-process locals — the TPU-native
+    equivalent of the reference's per-rank DistributedSampler slices
+    (data/utils/build_dataloader.py:110)."""
     sh = NamedSharding(mesh, P(data_axis))
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    import numpy as np
+
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
