@@ -593,16 +593,21 @@ def eva_vit_forward(
             f"layers {cfg.layers} not divisible by stages {pipeline_stages}"
         )
         if pipeline_microbatches is None:
-            # fill-drain GPipe bubble = (S-1)/(S+M-1); M=2S bounds it
-            # under ~1/3 while keeping microbatches MXU-sized
-            pipeline_microbatches = 2 * pipeline_stages
-        bubble = (pipeline_stages - 1) / (
-            pipeline_stages + pipeline_microbatches - 1
-        )
-        logging.getLogger(__name__).info(
-            "pipeline: %d stages x %d microbatches, bubble fraction %.2f",
-            pipeline_stages, pipeline_microbatches, bubble,
-        )
+            # auto: pipelined() picks the largest divisor of the per-shard
+            # batch <= 2*stages (fill-drain bubble (S-1)/(S+M-1) stays
+            # under ~1/3 while never producing zero-size microbatches)
+            logging.getLogger(__name__).info(
+                "pipeline: %d stages, auto microbatches (<= %d)",
+                pipeline_stages, 2 * pipeline_stages,
+            )
+        else:
+            bubble = (pipeline_stages - 1) / (
+                pipeline_stages + pipeline_microbatches - 1
+            )
+            logging.getLogger(__name__).info(
+                "pipeline: %d stages x %d microbatches, bubble %.2f",
+                pipeline_stages, pipeline_microbatches, bubble,
+            )
 
         def layer_fn(stage_xs, h):
             out, _ = jax.lax.scan(body, h, stage_xs)

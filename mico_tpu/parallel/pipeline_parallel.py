@@ -77,18 +77,34 @@ def pipeline_apply(
     return jax.lax.psum(mine, axis)
 
 
+def _auto_n_micro(batch: int, n_stages: int) -> int:
+    """Largest divisor of `batch` that is <= 2*n_stages.
+
+    2*S bounds the fill-drain bubble (S-1)/(S+M-1) under ~1/3; clamping to a
+    divisor of the per-shard batch guarantees no zero-size microbatches
+    whatever the batch (the round-4 default crashed at batch < 2*S)."""
+    cap = min(2 * n_stages, batch)
+    for m in range(cap, 0, -1):
+        if batch % m == 0:
+            return m
+    return 1
+
+
 def pipelined(
     layer_fn: Callable,
     mesh: Mesh = None,
     axis: str = "model",
-    n_micro: int = 2,
+    n_micro: int = None,
     data_axis: str = None,
 ):
     """Build f(stacked_layer_params, x) running `layer_fn` as an `axis`-way
     pipeline over microbatches of the leading batch dim.
 
     stacked_layer_params: leaves lead with the TOTAL layer count (divisible
-    by the stage count); x: (batch, ...) with batch divisible by n_micro.
+    by the stage count); x: (batch, ...).  n_micro=None picks the largest
+    divisor of the per-shard batch <= 2*stages (bubble <= ~1/3, never a
+    zero-size microbatch); an explicit n_micro must divide the per-shard
+    batch or a ValueError is raised at trace time.
     Differentiable end to end.
 
     mesh=None uses the ambient mesh (`jax.sharding.set_mesh`) — how the
@@ -117,8 +133,19 @@ def pipelined(
     )
     def run(stage_params, x):
         stage_params = jax.tree.map(lambda l: l[0], stage_params)
-        mb = x.shape[0] // n_micro
-        micro = x.reshape((n_micro, mb) + x.shape[1:])
+        batch = x.shape[0]
+        if n_micro is None:
+            nm = _auto_n_micro(batch, n_stages)
+        else:
+            nm = n_micro
+            if nm > batch or batch % nm:
+                raise ValueError(
+                    f"pipeline_microbatches={nm} must divide the per-shard "
+                    f"batch {batch} (and be <= it); use "
+                    f"pipeline_microbatches=None to auto-pick the largest "
+                    f"divisor <= 2*stages"
+                )
+        micro = x.reshape((nm, batch // nm) + x.shape[1:])
         out = pipeline_apply(
             layer_fn, stage_params, micro, axis, n_stages
         )

@@ -252,7 +252,8 @@ def itm_loss(
 ):
     """Hard-negative ITM (vast.py:419-457).
 
-    dedup_cross_kv (default ITM_DEDUP_CROSS_KV=True): the 3×bs pass's row
+    dedup_cross_kv (default ITM_DEDUP_CROSS_KV=False — measured negative
+    on-chip, see module constant above): the 3×bs pass's row
     groups [pos, pos-text×neg-cond, neg-text×pos-cond] reference only b
     (single-device) / 2b (cross-device negatives) UNIQUE conditions, so the
     per-layer cross-K/V projections run once per unique row and are

@@ -141,11 +141,13 @@ def main():
                     help="qkv projection inside the packed attention "
                          "kernel (round-4 measured default) vs the "
                          "separate-projection route")
-    ap.add_argument("--itm-dedup", default="on", choices=["on", "off"],
+    ap.add_argument("--itm-dedup", default="off", choices=["on", "off"],
                     help="project ITM cross-K/V once per unique condition "
                          "row (on) vs the reference-shaped 3xbs duplicated "
-                         "projections (off); MFU is computed on the FLOPs "
-                         "actually executed by the chosen mode")
+                         "projections (off = the measured-and-deployed "
+                         "default, ITM_DEDUP_CROSS_KV=False); MFU is "
+                         "computed on the FLOPs actually executed by the "
+                         "chosen mode")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", default=None)
     ap.add_argument("--unroll-blocks", action="store_true",

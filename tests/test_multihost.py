@@ -35,7 +35,13 @@ def _free_port() -> int:
     return port
 
 
-def _spawn(cmds, timeout=900):
+# Two full CLI cycles at 2 processes on a 1-vCPU CI host take ~15-18 min
+# wall-clock (mostly XLA compiles racing for the single core); override for
+# faster/slower hosts.
+MH_TIMEOUT = int(os.environ.get("MICO_MULTIHOST_TIMEOUT", "2400"))
+
+
+def _spawn(cmds, timeout=MH_TIMEOUT):
     """Launch one subprocess per command list; each gets 4 virtual CPU
     devices. → [(returncode, merged_output) per process]."""
     env = dict(os.environ)
@@ -132,7 +138,7 @@ def mh_corpus(tmp_path_factory):
     }
     cfg = {
         "run_cfg": {
-            "seed": 0, "num_train_steps": 2, "valid_freq": 1, "log_every": 1,
+            "seed": 0, "num_train_steps": 2, "valid_freq": 2, "log_every": 1,
             "gradient_accumulation_steps": 1, "learning_rate": 1e-3,
             "platform": "cpu", "multihost": True, "num_processes": 2,
             "checkpoint_backend": "orbax", "zero1": True,
@@ -202,9 +208,13 @@ def test_cli_multihost_train_save_resume(mh_corpus, tmp_path):
     assert "best video_r1" in outs[0][1]
     assert os.path.exists(out_dir / "log" / "hps.json")
 
+    # resume launch: eval disabled (valid_freq past the horizon) — the eval
+    # path is already covered by the first launch, and skipping its compile
+    # roughly halves the second cycle on a 1-core host
     outs = _run_cli(
         cfg_path, out_dir, _free_port(),
-        ["run_cfg.resume=true", "run_cfg.num_train_steps=4"],
+        ["run_cfg.resume=true", "run_cfg.num_train_steps=4",
+         "run_cfg.valid_freq=99"],
     )
     for pid, (rc, out) in enumerate(outs):
         assert rc == 0, f"resume process {pid} failed:\n{out[-8000:]}"

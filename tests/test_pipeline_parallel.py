@@ -60,6 +60,39 @@ def test_pipeline_matches_sequential(n_stages, n_micro):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pipeline_auto_microbatches_small_batch():
+    """Round-4 regression: the 2*stages default produced ZERO-size
+    microbatches when the per-shard batch was smaller. Auto (n_micro=None)
+    must clamp to the largest divisor of the per-shard batch, and an
+    explicit indivisible n_micro must raise a clear error."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(0)
+    L, D = 8, 16
+    params = {
+        "w": jnp.asarray(rng.standard_normal((L, D, D)) * 0.3, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((L, D)) * 0.1, jnp.float32),
+    }
+    # batch < 2*stages (and odd batches): auto picks the largest divisor,
+    # output still exact — at both 2 and 4 stages
+    for n_stages in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:n_stages]), ("model",))
+        f = pipelined(layer_fn, mesh, axis="model", n_micro=None)
+        for B in (1, 2, 3, 5):
+            x = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(f(params, x)), np.asarray(sequential(params, x)),
+                rtol=1e-5, atol=1e-5,
+            )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+
+    # explicit n_micro that doesn't divide the batch: loud trace-time error
+    x = jnp.asarray(rng.standard_normal((2, D)), jnp.float32)
+    bad = pipelined(layer_fn, mesh, axis="model", n_micro=4)
+    with pytest.raises(ValueError, match="pipeline_microbatches"):
+        bad(params, x)
+
+
 def test_pipeline_on_eva_vit_blocks():
     """The real EVA ViT block stack runs pipelined (stacked-leaf layout is
     exactly the pipeline's stage format)."""
