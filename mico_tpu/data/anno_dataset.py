@@ -24,7 +24,7 @@ from typing import Optional
 
 import numpy as np
 
-from mico_tpu.data.mappers import AudioMapper, VisionMapper
+from mico_tpu.data.mappers import AudioMapper, DepthMapper, VisionMapper
 
 _ID_KEYS = ("video_id", "image_id", "image", "id")
 
@@ -41,6 +41,7 @@ _FIELDS = (
     "question_ids_raw",
     "audio_spectrograms",
     "raw_subtitles",
+    "depth_pixels",
     # VAST-27M per-source caption streams (the task engine picks one per
     # fused-modality subtask; reference vast.py:655-780)
     "raw_vision_captions",
@@ -64,6 +65,9 @@ class AnnoIndexedDataset:
         )
         self.audio_mapper = (
             AudioMapper(d_cfg, model_cfg, seed) if "audio" in d_cfg else None
+        )
+        self.depth_mapper = (
+            DepthMapper(d_cfg, model_cfg, seed) if "depth" in d_cfg else None
         )
         with open(d_cfg["txt"]) as f:
             self.annos = json.load(f)
@@ -125,6 +129,19 @@ class AnnoIndexedDataset:
                 )
                 return self.__getitem__(resample, _depth + 1)
 
+        depth_pixels = None
+        if self.depth_mapper is not None:
+            depth_pixels = self.depth_mapper.read(id_)
+            if depth_pixels is None:
+                if _depth > 16:
+                    raise ValueError(f"too many corrupt samples near {id_}")
+                resample = self._rng.choice(self.idx)
+                print(
+                    f"current idx {id_} from {self.dataset_name} returns wrong "
+                    f"depth, use {resample} instead."
+                )
+                return self.__getitem__(resample, _depth + 1)
+
         vast27m = tuple(
             next((anno[k] for k in keys if k in anno), None)
             for keys in _VAST27M_KEYS.values()
@@ -140,6 +157,7 @@ class AnnoIndexedDataset:
             question_id,
             audio_spectrograms,
             raw_subtitles,
+            depth_pixels,
         ) + vast27m
 
 

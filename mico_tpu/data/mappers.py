@@ -187,6 +187,55 @@ class VisionMapper:
         return np.stack(out)
 
 
+class DepthMapper:
+    """Depth maps for the MiCo 'd' modality (beyond-reference: the reference
+    consumes depth only at the model level, model/mico.py:145-148 — its data
+    engine has no depth loader, so the omni tid/tvad mixes could never train
+    from disk). d_cfg keys: depth (root dir of per-id depth images; grayscale
+    or RGB — cv2 replicates gray to 3 channels), optional depth_sample_num
+    (stacked maps per id via `{id}_k` suffixes; default 1). Depth rides the
+    shared vision encoder, so it uses the vision resolution/normalization
+    (mico.py routes depth_pixels through forward_vision_encoder)."""
+
+    def __init__(self, d_cfg: dict, model_cfg: dict, seed: Optional[int] = None):
+        self.depth_dir = d_cfg["depth"]
+        self.training = bool(d_cfg.get("training", True))
+        self.sample_num = int(d_cfg.get("depth_sample_num", 1))
+        self.resolution = int(model_cfg.get("vision_resolution", 224))
+        self.mean, self.std = _stats_for(
+            model_cfg.get("vision_encoder_type", "evaclip01_giant")
+        )
+        self._rng = random.Random(seed)
+
+    def read(self, id_) -> Optional[np.ndarray]:
+        try:
+            maps = []
+            for k in range(self.sample_num):
+                cand = str(id_) if self.sample_num == 1 else f"{id_}_{k}"
+                path = _resolve_path(
+                    self.depth_dir, cand, IMAGE_EXT_FALLBACK + (".png",)
+                )
+                if path is None and self.sample_num > 1:
+                    # fewer maps than requested: repeat the base map
+                    path = _resolve_path(
+                        self.depth_dir, id_, IMAGE_EXT_FALLBACK + (".png",)
+                    )
+                if path is None:
+                    print("not have depth", id_)
+                    return np.zeros(
+                        (self.sample_num, 3, self.resolution, self.resolution),
+                        np.float32,
+                    )
+                maps.append(load_image_chw(path))
+            return _resize_normalize_host(
+                np.stack(maps), self.resolution,
+                tuple(self.mean), tuple(self.std),
+            )
+        except Exception as e:  # noqa: BLE001 — corrupt sample → resample
+            print(e, id_)
+            return None
+
+
 class AudioMapper:
     """d_cfg keys: audio (root dir), training, audio_sample_num; model_cfg
     keys: audio_melbins, audio_target_length, audio_encoder_type."""

@@ -141,6 +141,40 @@ def test_anno_dataset_resamples_corrupt_and_collates(corpus):
     assert batch["ids_txt"] == [["s0"], ["s1"]]
 
 
+def test_anno_dataset_depth_modality(corpus, tmp_path):
+    """Depth maps load through DepthMapper into batch['depth_pixels'] so the
+    omni tid/tvad mixes can train from disk (the reference consumes depth
+    only at the model level, model/mico.py:145-148 — no reference loader)."""
+    import cv2
+
+    depth_dir = tmp_path / "depth"
+    depth_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        # grayscale depth maps; cv2 loads them back as 3-channel
+        cv2.imwrite(str(depth_dir / f"s{i}.png"),
+                    rng.integers(0, 255, (40, 44), dtype=np.uint8))
+    d_cfg = {**corpus, "depth": str(depth_dir)}
+    ds = AnnoIndexedDataset(d_cfg, MODEL_CFG, seed=0)
+    batch = ds.collate_fn([ds[0], ds[1]])
+    assert batch["depth_pixels"].shape == (2, 1, 3, 64, 64)
+    assert batch["vision_pixels"].shape == (2, 1, 3, 64, 64)
+    # grayscale replicate: the 3 channels agree up to per-channel norm stats
+    dp = batch["depth_pixels"]
+    m, s = np.zeros(3), np.ones(3)
+    from mico_tpu.media.processors import _stats_for
+
+    m, s = map(np.asarray, _stats_for("evaclip01_giant"))
+    un = dp * s.reshape(1, 1, 3, 1, 1) + m.reshape(1, 1, 3, 1, 1)
+    np.testing.assert_allclose(un[:, :, 0], un[:, :, 1], atol=1e-5)
+    # missing depth file → zeros (shape-stable), not a crash
+    (depth_dir / "s1.png").unlink()
+    ds2 = AnnoIndexedDataset(d_cfg, MODEL_CFG, seed=0)
+    s1 = ds2[1]
+    zeros = s1[9]
+    assert zeros.shape == (1, 3, 64, 64) and not zeros.any()
+
+
 def test_sharded_sampler_padding_and_wopadding():
     # padded (train): every shard same length, union covers all w/ wraparound
     shards = [
