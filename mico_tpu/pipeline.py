@@ -47,6 +47,7 @@ def train(
     mesh=None,
     evaluate_every: Optional[int] = None,
     start_step: int = 0,
+    model_axis: Optional[str] = "model",
 ):
     """Run the training loop; returns final (params, opt_state).
 
@@ -93,7 +94,11 @@ def train(
                     ),
                 )
             else:
-                step_fns[task] = make_train_step(cfg, optimizer, task)
+                step_fns[task] = make_train_step(
+                    cfg, optimizer, task, mesh=mesh,
+                    zero1=bool(run_cfg.get("zero1", False)),
+                    model_axis=model_axis,
+                )
         tb = batch_tok(batch, task)
         arrays = {
             k: jnp.asarray(v) for k, v in tb.items() if not isinstance(v, list)

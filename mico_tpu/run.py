@@ -159,13 +159,35 @@ def main(argv=None):
         )
     from mico_tpu.models import mico as mico_mod
 
+    # run_cfg.param_dtype="bfloat16": train with bf16 params (and hence
+    # bf16 Adam moments). fp32 params + fp32 moments for the 1.3B flagship
+    # exceed one chip's HBM — single-chip training REQUIRES this (the
+    # multi-chip path keeps fp32 via ZeRO-1 sharding of the moments);
+    # scripts/train_bench.py measures under the same cast.
+    param_dtype = run_cfg.get("param_dtype")
+    import jax.numpy as jnp
+
+    pd = jnp.dtype(param_dtype) if param_dtype else None
+
+    def _cast_params(tree):
+        if pd is None:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(pd) if x.dtype == jnp.float32 else x, tree
+        )
+
     init_rng = jax.random.PRNGKey(int(run_cfg.get("seed", 50)))
     if params is None and sharded_resume:
         # abstract template only — the real values stream from the
         # checkpoint straight onto the mesh
-        params = jax.eval_shape(lambda: mico_mod.init_mico(init_rng, cfg))
+        params = jax.eval_shape(
+            lambda: _cast_params(mico_mod.init_mico(init_rng, cfg))
+        )
     elif params is None:
-        params = mico_mod.init_mico(init_rng, cfg)
+        params = _cast_params(mico_mod.init_mico(init_rng, cfg))
+    else:
+        # resume_latest / pretrain_dir host trees take the same cast
+        params = _cast_params(params)
 
     if mode == "training":
         if meta_loader is None:
@@ -243,6 +265,7 @@ def main(argv=None):
         train(
             cfg, params, opt_state, optimizer, meta_loader, val_loaders,
             run_cfg, tokenizer, mesh=mesh, start_step=resume_step,
+            model_axis=model_axis,
         )
     elif mode == "testing":
         logs = test(cfg, params, val_loaders, run_cfg, tokenizer)

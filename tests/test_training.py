@@ -296,6 +296,10 @@ def test_zero1_optimizer_sharding_equivalence(rng, params):
                       jax.random.PRNGKey(7))
 
     mesh = create_mesh(data=8, model=1)
+    # the mesh-aware step also constrains grads to the ZeRO-1 moment layout
+    # (reduce-scatter lowering) — same math, asserted here
+    stepz = make_train_step(CFG, opt, "cap%tv", donate=False, mesh=mesh,
+                            zero1=True)
     with jax.sharding.set_mesh(mesh):
         pz, sz = shard_train_state(mesh, params, opt.init(params), zero1=True)
         # at least one moment leaf actually sharded
@@ -305,8 +309,8 @@ def test_zero1_optimizer_sharding_equivalence(rng, params):
             if hasattr(x, "sharding") and x.ndim > 0
         ]
         assert any(s != jax.sharding.PartitionSpec() for s in shardings)
-        pz, sz, lz = step(pz, sz, shard_batch(mesh, batch),
-                          jax.random.PRNGKey(7))
+        pz, sz, lz = stepz(pz, sz, shard_batch(mesh, batch),
+                           jax.random.PRNGKey(7))
     np.testing.assert_allclose(
         float(l1["loss_total"]), float(lz["loss_total"]), rtol=2e-5
     )
@@ -337,6 +341,8 @@ def test_zero1_with_tensor_parallel_moments(rng, params):
                       jax.random.PRNGKey(7))
 
     mesh = create_mesh(data=4, model=2)
+    stepz = make_train_step(CFG, opt, "cap%tv", donate=False, mesh=mesh,
+                            zero1=True, model_axis="model")
     with jax.sharding.set_mesh(mesh):
         pz, sz = shard_train_state(
             mesh, params, opt.init(params), model_axis="model", zero1=True
@@ -353,8 +359,8 @@ def test_zero1_with_tensor_parallel_moments(rng, params):
         for s in moment_specs:
             axes = [a for a in s if a is not None]
             assert len(axes) == len(set(axes)), s
-        pz, sz, lz = step(pz, sz, shard_batch(mesh, batch),
-                          jax.random.PRNGKey(7))
+        pz, sz, lz = stepz(pz, sz, shard_batch(mesh, batch),
+                           jax.random.PRNGKey(7))
     np.testing.assert_allclose(
         float(l1["loss_total"]), float(lz["loss_total"]), rtol=2e-5
     )
