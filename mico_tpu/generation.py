@@ -257,13 +257,18 @@ def _sequential_generate(
 
 
 def _cross_mha(q, k, v, cfg):
-    """Plain MHA (no bias) on (B, Lq, H) x (B, Lk, H)."""
+    """Plain MHA (no bias) on (B, Lq, H) x cross K/V stored either packed
+    (B, Lk, H) or split-heads (B, nh, Lk, hd) — see CROSS_KV_SPLIT_HEADS.
+    Identical math either way (the split is an exact transpose)."""
     b, lq, h = q.shape
-    lk = k.shape[1]
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     qh = q.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+    if k.ndim == 4:
+        kh, vh = k, v
+    else:
+        lk = k.shape[1]
+        kh = k.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
     ) * (hd**-0.5)
@@ -430,6 +435,32 @@ def _unrolled_layers(x, params, ck, cv, xk, xv, t, cfg, bias, n_rep=1,
     return x, tuple(new_ck), tuple(new_cv)
 
 
+# Store the per-layer cross K/V split per head — (B, nh, Lk, hd) row-major,
+# so each attention fusion's (batch, head) stream reads its Lk x hd panel
+# CONTIGUOUSLY instead of strided across the packed (B, Lk, nh*hd) hidden
+# dim. Round-4's trace attributed the beam decode's residual +1.2 ms/step
+# to the cross-read DMA running ~27% slower per stream at the same bytes
+# (k-folded query layout); this is the layout-restoring attempt VERDICT #7
+# asks to measure. Exactness: pure transpose, outputs bit-identical
+# (tests/test_generation.py). Measured on v5e round 5 — see BASELINE.
+CROSS_KV_SPLIT_HEADS = False
+
+
+def _maybe_split_heads(x_tuple, cfg, enable):
+    """Per-layer (B, Lk, H) tuples → (B, nh, Lk, hd), materialized once at
+    setup (loop-invariant), barriered so XLA can't re-fuse the transpose
+    into the decode loop."""
+    if not enable:
+        return x_tuple
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def sp(a):
+        b, lk, _ = a.shape
+        return a.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+
+    return jax.lax.optimization_barrier(tuple(sp(a) for a in x_tuple))
+
+
 def _maybe_quantize_cross(xk, xv, cfg, enable):
     """Optionally int8-quantize the per-layer cross K/V tuples (the decode
     step's dominant HBM stream — ops/int8_attention). Each layer entry
@@ -474,6 +505,9 @@ def cached_generate(
     xk, xv = _cross_kv(params, cond)
     xk = _unstack(xk.astype(compute_dtype), n_layers)
     xv = _unstack(xv.astype(compute_dtype), n_layers)
+    split = CROSS_KV_SPLIT_HEADS and not int8_cross_kv
+    xk = _maybe_split_heads(xk, cfg, split)
+    xv = _maybe_split_heads(xv, cfg, split)
     xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
     # lmax committed slots + the preallocated probe slot at index lmax
@@ -543,7 +577,7 @@ def cached_generate(
 
 
 def _prefill_prefix(params, cfg, prefix_ids, prefix_mask, cond,
-                    total_len, compute_dtype):
+                    total_len, compute_dtype, split_heads=False):
     """Encode the question prefix once (bidirectional over valid prefix
     positions, WITH cross-attention — identical to the prefix rows of the
     recompute part-causal decode) and capture each layer's self K/V.
@@ -559,6 +593,8 @@ def _prefill_prefix(params, cfg, prefix_ids, prefix_mask, cond,
     xk, xv = _cross_kv(params, cond)
     xk = _unstack(xk.astype(compute_dtype), n_layers)
     xv = _unstack(xv.astype(compute_dtype), n_layers)
+    xk = _maybe_split_heads(xk, cfg, split_heads)
+    xv = _maybe_split_heads(xv, cfg, split_heads)
 
     def body(x, lp, xkl, xvl):
         k = linear(x, lp["k_w"], lp["k_b"])
@@ -632,6 +668,7 @@ def cached_generate_answers(
     ck, cv, xk, xv = _prefill_prefix(
         params, cfg, question_ids, question_mask, cond, total + 1,
         compute_dtype,
+        split_heads=CROSS_KV_SPLIT_HEADS and not int8_cross_kv,
     )
     xk, xv = _maybe_quantize_cross(xk, xv, cfg, int8_cross_kv)
 
@@ -734,11 +771,12 @@ def cached_beam_generate(
     bk = b * k
 
     cond = condition_feat.astype(compute_dtype)
+    split = CROSS_KV_SPLIT_HEADS and not int8_cross_kv
     if prefix_ids is not None:
         # total committed slots + the preallocated probe slot
         ck0, cv0, xk, xv = _prefill_prefix(
             params, cfg, prefix_ids, prefix_mask, cond, total + 1,
-            compute_dtype,
+            compute_dtype, split_heads=split,
         )
         # per-beam self caches
         ck0 = tuple(jnp.repeat(c, k, axis=0) for c in ck0)
@@ -751,6 +789,8 @@ def cached_beam_generate(
         xk, xv = _cross_kv(params, cond)
         xk = _unstack(xk.astype(compute_dtype), n_layers)
         xv = _unstack(xv.astype(compute_dtype), n_layers)
+        xk = _maybe_split_heads(xk, cfg, split)
+        xv = _maybe_split_heads(xv, cfg, split)
         ck0 = tuple(
             jnp.zeros((bk, total + 1, h), compute_dtype)
             for _ in range(n_layers)

@@ -47,8 +47,16 @@ def main():
     ap.add_argument("--profile", default="")
     ap.add_argument("--int8", action="store_true",
                     help="int8 cross-K/V via the dequant-fused Pallas kernel")
+    ap.add_argument("--split-heads", action="store_true",
+                    help="store cross K/V split per head, (B, nh, Lk, hd) "
+                         "row-major — contiguous per-(batch, head) DMA "
+                         "streams (round-5 beam layout A/B)")
     args = ap.parse_args()
     i8 = bool(args.int8)
+    if args.split_heads:
+        from mico_tpu import generation as _gen
+
+        _gen.CROSS_KV_SPLIT_HEADS = True
     dtype = jnp.dtype(args.dtype)
     preset = PRESETS[args.preset]
     B = preset["b"]

@@ -539,3 +539,42 @@ def test_cached_beam_k5_matches_recompute(setup):
                              num_beams=5)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_cross_kv_split_heads_exactness(setup):
+    """CROSS_KV_SPLIT_HEADS stores the per-layer cross K/V as
+    (B, nh, Lk, hd) so each (batch, head) DMA stream reads contiguously
+    (the round-5 beam cross-read layout experiment). It is a pure
+    transpose: greedy, beam, and prefilled-QA outputs must be
+    bit-identical to the packed layout."""
+    from mico_tpu import generation as gen
+
+    _, cond, params = setup
+    cond_j = jnp.asarray(cond)
+    q = jnp.asarray(np.array([[101, 2054, 2003, 102, 0, 0]] * cond.shape[0],
+                             np.int32))
+    qm = jnp.asarray((np.asarray(q) != 0).astype(np.int32))
+    from mico_tpu.generation import (
+        cached_beam_generate,
+        cached_generate,
+        generate_answers,
+    )
+
+    runs = {}
+    for flag in (False, True):
+        gen.CROSS_KV_SPLIT_HEADS = flag
+        try:
+            runs[flag] = (
+                np.asarray(cached_generate(params, CFG, cond_j,
+                                           max_new_tokens=8, mode="greedy")),
+                np.asarray(cached_beam_generate(params, CFG, cond_j,
+                                                max_new_tokens=8,
+                                                num_beams=3)),
+                np.asarray(generate_answers(params, CFG, q, qm, cond_j,
+                                            max_new_tokens=4, mode="greedy",
+                                            use_cache=True)),
+            )
+        finally:
+            gen.CROSS_KV_SPLIT_HEADS = False
+    for a, b in zip(runs[False], runs[True]):
+        np.testing.assert_array_equal(a, b)
