@@ -119,13 +119,16 @@ def make_config(root: str, args) -> str:
     else:
         # the production flagship: ViT-g + BERT-base, bf16 params (fp32
         # params + moments for 1.3B exceed single-chip HBM — BASELINE
-        # round-4 mix account), per-block remat via the model defaults
+        # round-4 mix account). checkpointing (per-block remat) is
+        # REQUIRED at this scale: without it the omni tid mix allocates
+        # ~200G of layer-stacked activations vs 15.75G HBM.
         model_cfg = {
             "vision_resolution": 224,
             "vision_encoder_type": "evaclip01_giant",
             "audio_melbins": 64, "audio_target_length": 1024,
             "audio_encoder_type": "beats",
             "compute_dtype": "bfloat16",
+            "checkpointing": True,
             "max_vision_sample_num": 4, "max_audio_sample_num": 2,
             "max_depth_sample_num": 4,
         }
@@ -158,9 +161,19 @@ def make_config(root: str, args) -> str:
 
 def launch(cfg_path: str, out_dir: str, log_path: str, resume: bool):
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    # APPEND to PYTHONPATH: the TPU plugin registers via a sitecustomize
+    # dir already on it (clobbering it leaves JAX_PLATFORMS pointing at an
+    # unregistered backend)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
     env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    # persistent executable cache: the resume phase replays the same
+    # compiles (3 task groups + eval fns, ~10 min each on ViT-g) for free
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(log_path), "jax_cache"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
     cmd = [
         sys.executable, "-m", "mico_tpu.run",
         "--config", cfg_path, "--output_dir", out_dir, "--vocab", VOCAB,
@@ -287,7 +300,9 @@ def main():
     ap.add_argument("--valid-steps", type=int, default=None,
                     help="eval+save cadence (default steps//5)")
     ap.add_argument("--task", default="ret%tva%tid_cap%tvas_qa%tva")
-    ap.add_argument("--batch", type=int, default=16)
+    # b8: the ret%tva%tid group runs the ViT-g tower on vision AND depth
+    # (2x the bench mix's vision bytes) — b16 is the no-depth mix ceiling
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--val-batch", type=int, default=8)
     ap.add_argument("--corpus-items", type=int, default=128)
     ap.add_argument("--workers", type=int, default=2)
